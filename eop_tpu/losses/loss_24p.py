@@ -1,0 +1,251 @@
+"""24-point detector training loss: polygon SimOTA + concentric-circle GIoU
++ DWA dynamic task weighting.  Fully static shapes, vmapped, jit-owned.
+
+Parity target: `Loss_Function`
+(`/root/reference/yolox_24p/models/losses.py:159-603`):
+
+* label rows are ``[cls, cx, cy, 24×(x, y)]`` (51 floats, zero-padded to
+  ``max_labels=50``);
+* candidate anchors come from an angle-sum point-in-polygon test (replacing
+  the bbox in-box test) OR the 2.5-stride center box
+  (`get_in_boxes_info:497-551`);
+* the SimOTA similarity is the pairwise circle-GIoU statistic
+  (`yolox_24p/utils/boxes.py:166-243`; see
+  ``ops.circle_iou.pairwise_circle_similarity`` for the inverted-semantics
+  parity flag);
+* the regression loss is a 24-vector (one circle-GIoU loss per ray,
+  "24 small tasks", `losses.py:283-292`);
+* DWA weighting: ratios vs the previous step's losses, clipped to [0, 2],
+  softmax with T=20 over 26 terms, scaled ×26, with the previous losses
+  carried as explicit state (`losses.py:311-345`) — here a ``DWAState``
+  pytree threaded through the train step instead of module attributes.
+
+Known reference quirk we *fix* by default (flag for parity): its 24p L1
+target uses the absolute point coordinates instead of center-relative
+radii (`losses.py:594-603`); we use true radii.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.circle_iou import (
+    matched_circle_giou_loss,
+    pairwise_circle_similarity,
+)
+from ..ops.polygon import pts_in_poly_from_labels, radii_from_points
+from .iou_loss import bce_with_logits
+from .simota import (
+    BIG_COST,
+    Assignment,
+    SimOTAConfig,
+    pairwise_cls_cost,
+    simota_match,
+)
+
+
+class Loss24PConfig(NamedTuple):
+    num_classes: int = 80
+    use_l1: bool = False
+    dwa_temperature: float = 20.0
+    reference_parity: bool = False  # replicate the GIoU-as-IoU SimOTA stat
+    simota: SimOTAConfig = SimOTAConfig()
+
+
+class DWAState(NamedTuple):
+    """Previous-step losses for DWA (ref `last_*_loss`, losses.py:170-172)."""
+
+    last_iou: jnp.ndarray  # [24]
+    last_obj: jnp.ndarray  # scalar
+    last_cls: jnp.ndarray  # scalar
+
+    @classmethod
+    def init(cls) -> "DWAState":
+        return cls(
+            last_iou=jnp.ones((24,), jnp.float32),
+            last_obj=jnp.ones((), jnp.float32),
+            last_cls=jnp.ones((), jnp.float32),
+        )
+
+
+class Loss24PAux(NamedTuple):
+    loss_iou: jnp.ndarray       # [24] weighted per-ray losses
+    loss_obj: jnp.ndarray
+    loss_cls: jnp.ndarray
+    loss_l1: jnp.ndarray
+    num_fg_per_gt: jnp.ndarray
+    reg_w: jnp.ndarray          # [24] DWA weights
+    obj_w: jnp.ndarray
+    cls_w: jnp.ndarray
+
+
+def simota_assign_24p(
+    labels_xy,    # [M, 50] rows (cx, cy, 24×(x, y)) — labels[:, 1:]
+    gt_classes,   # [M]
+    gt_valid,     # [M] bool
+    poly_preds,   # [A, 26] decoded (cx, cy, 24 radii)
+    obj_logits,   # [A]
+    cls_logits,   # [A, C]
+    grids,        # [A, 2]
+    strides,      # [A]
+    config: Loss24PConfig,
+) -> Assignment:
+    """Per-image polygon SimOTA (ref `get_assignments:359-442`)."""
+    x_c = (grids[:, 0] + 0.5) * strides
+    y_c = (grids[:, 1] + 0.5) * strides
+
+    in_poly = pts_in_poly_from_labels(labels_xy, x_c, y_c) & gt_valid[:, None]
+
+    r = config.simota.center_radius * strides
+    cx, cy = labels_xy[:, 0], labels_xy[:, 1]
+    in_centers = (
+        (x_c[None, :] > cx[:, None] - r[None, :])
+        & (x_c[None, :] < cx[:, None] + r[None, :])
+        & (y_c[None, :] > cy[:, None] - r[None, :])
+        & (y_c[None, :] < cy[:, None] + r[None, :])
+        & gt_valid[:, None]
+    )
+
+    fg_candidate = jnp.any(in_poly, axis=0) | jnp.any(in_centers, axis=0)
+    in_both = in_poly & in_centers
+
+    gt_centers = labels_xy[:, 0:2]
+    gt_radii = radii_from_points(labels_xy)
+    pair_sim = pairwise_circle_similarity(
+        gt_centers, gt_radii, poly_preds[:, 0:2], poly_preds[:, 2:26],
+        reference_parity=config.reference_parity,
+    )
+    pair_sim = jnp.where(gt_valid[:, None], pair_sim, 0.0)
+    sim_cost = -jnp.log(pair_sim + 1e-8)
+
+    cls_cost = pairwise_cls_cost(
+        cls_logits, obj_logits, gt_classes, config.num_classes
+    )
+
+    is_candidate = jnp.broadcast_to(fg_candidate[None, :], pair_sim.shape)
+    cost = (
+        cls_cost
+        + config.simota.iou_weight * sim_cost
+        + 100000.0 * (~in_both)
+        + BIG_COST * (~is_candidate)
+        + BIG_COST * (~gt_valid)[:, None]
+    )
+
+    _, fg_mask, matched_gt, pred_iou, num_fg = simota_match(
+        cost, pair_sim, is_candidate, gt_valid, config.simota.max_k
+    )
+    return Assignment(
+        fg_mask=fg_mask,
+        matched_gt=matched_gt,
+        pred_iou=pred_iou,
+        num_fg=num_fg,
+        num_gt=jnp.sum(gt_valid).astype(jnp.float32),
+    )
+
+
+def loss_24p(
+    decoded,      # [B, A, 26+1+C]: decoded (cx, cy, radii), logit obj/cls
+    origin_reg,   # [B, A, 26] raw reg preds (L1)
+    labels,       # [B, M, 51] (cls, cx, cy, 24×(x, y)) zero-padded
+    grids,        # [A, 2]
+    strides,      # [A]
+    dwa: DWAState,
+    config: Loss24PConfig,
+):
+    """Returns (total_loss, Loss24PAux, new DWAState).
+
+    Mirrors `Loss_Function.forward` (`losses.py:175-357`).
+    """
+    decoded = decoded.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    poly_preds = decoded[..., :26]
+    obj_logits = decoded[..., 26]
+    cls_logits = decoded[..., 27:]
+
+    gt_valid = jnp.sum(labels, axis=2) > 0  # [B, M]
+    labels_xy = labels[..., 1:]
+    gt_classes = labels[..., 0]
+
+    assign: Assignment = jax.vmap(
+        lambda lxy, gc, gv, pp, ol, cl: simota_assign_24p(
+            lxy, gc, gv, pp, ol, cl, grids, strides, config
+        )
+    )(labels_xy, gt_classes, gt_valid, poly_preds, obj_logits, cls_logits)
+
+    fg = assign.fg_mask
+    fgf = fg.astype(jnp.float32)
+    num_fg = jnp.maximum(jnp.sum(assign.num_fg), 1.0)
+    num_gts = jnp.maximum(jnp.sum(assign.num_gt), 1.0)
+
+    matched = assign.matched_gt
+    # Gather matched GT rows [B, A, 50]
+    gt_rows = jnp.take_along_axis(
+        labels_xy, matched[..., None], axis=1
+    )
+    gt_cls = jnp.take_along_axis(gt_classes, matched, axis=1)
+
+    # --- per-ray circle-GIoU loss ("24 small tasks") ---
+    gt_centers = gt_rows[..., 0:2]
+    gt_radii = radii_from_points(gt_rows)
+    per_ray = matched_circle_giou_loss(
+        gt_centers.reshape(-1, 2),
+        gt_radii.reshape(-1, 24),
+        poly_preds[..., 0:2].reshape(-1, 2),
+        poly_preds[..., 2:26].reshape(-1, 24),
+    ).reshape(fg.shape + (24,))
+    loss_iou = jnp.sum(per_ray * fgf[..., None], axis=(0, 1)) / num_fg  # [24]
+
+    loss_obj = jnp.sum(bce_with_logits(obj_logits, fgf)) / num_fg
+    cls_target = (
+        jax.nn.one_hot(gt_cls.astype(jnp.int32), config.num_classes)
+        * assign.pred_iou[..., None]
+    )
+    loss_cls = jnp.sum(
+        bce_with_logits(cls_logits, cls_target) * fgf[..., None]
+    ) / num_fg
+
+    if config.use_l1:
+        tx = gt_centers[..., 0] / strides[None] - grids[None, :, 0]
+        ty = gt_centers[..., 1] / strides[None] - grids[None, :, 1]
+        tr = jnp.log(gt_radii / strides[None, :, None] + 1e-8)
+        l1_t = jnp.concatenate(
+            [tx[..., None], ty[..., None], tr], axis=-1
+        )
+        loss_l1 = jnp.sum(
+            jnp.abs(origin_reg.astype(jnp.float32) - l1_t) * fgf[..., None]
+        ) / num_fg
+    else:
+        loss_l1 = jnp.zeros(())
+
+    # --- DWA weighting (ref losses.py:311-345) ---
+    t = config.dwa_temperature
+    li = jax.lax.stop_gradient(loss_iou)
+    lo = jax.lax.stop_gradient(loss_obj)
+    lc = jax.lax.stop_gradient(loss_cls)
+    r_iou = jnp.clip(li / (dwa.last_iou + 1e-8), 0.0, 2.0)
+    r_obj = jnp.clip(lo / (dwa.last_obj + 1e-8), 0.0, 2.0)
+    r_cls = jnp.clip(lc / (dwa.last_cls + 1e-8), 0.0, 2.0)
+    denom = jnp.sum(jnp.exp(r_iou / t)) + jnp.exp(r_obj / t) + jnp.exp(r_cls / t)
+    reg_w = 26.0 * jnp.exp(r_iou / t) / denom
+    obj_w = 26.0 * jnp.exp(r_obj / t) / denom
+    cls_w = 26.0 * jnp.exp(r_cls / t) / denom
+
+    total = (
+        jnp.sum(reg_w * loss_iou) + obj_w * loss_obj + cls_w * loss_cls
+        + loss_l1
+    )
+    new_dwa = DWAState(last_iou=li, last_obj=lo, last_cls=lc)
+    aux = Loss24PAux(
+        loss_iou=reg_w * loss_iou,
+        loss_obj=loss_obj,
+        loss_cls=loss_cls,
+        loss_l1=loss_l1,
+        num_fg_per_gt=num_fg / num_gts,
+        reg_w=reg_w,
+        obj_w=obj_w,
+        cls_w=cls_w,
+    )
+    return total, aux, new_dwa

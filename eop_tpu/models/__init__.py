@@ -1,0 +1,12 @@
+from .darknet import CSPDarknet, Darknet
+from .densenet import DenseNet, densenet121
+from .head import (
+    YOLOXHead,
+    decode_outputs,
+    flatten_head_outputs,
+    make_grids_and_strides,
+)
+from .pafpn import YOLOFPN, YOLOPAFPN, BACKBONE_TYPES
+from .resnet import ResNet, resnet50
+from .vgg import VGG, vgg19
+from .yolox import YOLOX, YOLOv3, inference_outputs, training_outputs

@@ -1,0 +1,274 @@
+"""Network building blocks (TPU-native, NHWC, flax.linen).
+
+Capability parity with the reference block zoo
+(`/root/reference/yolox/models/network_blocks.py:9-210`): SiLU / ReLU /
+LeakyReLU activations, Conv-BN-act (`BaseConv`), depthwise-separable conv
+(`DWConv`), `Bottleneck`, YOLOv3 `ResLayer`, `SPPBottleneck`, `CSPLayer`
+(C3), and the `Focus` space-to-depth stem.
+
+TPU-first design notes:
+
+* tensors are NHWC — the native XLA TPU convolution layout; the reference's
+  NCHW is a CUDA/cuDNN convention we do not copy.
+* convolutions carry an explicit ``(k-1)//2`` symmetric padding, which for
+  odd kernels is exactly PyTorch's "same" padding — pinned so that weight
+  imports from reference checkpoints are bit-compatible.
+* BatchNorm uses eps 1e-3 / torch-momentum 0.03 (the values the reference
+  stamps onto every BN via ``init_yolo``, `yolox/exp/yolox_base.py:76-80`);
+  flax's momentum convention is ``1 - torch_momentum``.  An optional
+  ``bn_axis_name`` turns every BN into a cross-replica sync-BN (``pmean``
+  over the mesh data axis) — strictly stronger than the reference's
+  periodic pre-eval all-reduce.
+* compute dtype is a parameter (bf16 on TPU for speed; params stay fp32).
+* ``Focus`` is expressed as a space-to-depth reshape so XLA lowers it to a
+  pure layout change fused into the following conv.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# Torch BN momentum 0.03 == flax momentum 0.97 (flax: ema = m*ema + (1-m)*x).
+BN_MOMENTUM = 0.97
+BN_EPS = 1e-3
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def get_activation(name: str = "silu") -> Callable:
+    """Activation registry mirroring `network_blocks.py:17-26`."""
+    if name == "silu":
+        return silu
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return functools.partial(jax.nn.leaky_relu, negative_slope=0.1)
+    raise AttributeError(f"Unsupported act type: {name}")
+
+
+def batch_norm(
+    x,
+    train: bool = False,
+    name: str = "bn",
+    dtype: Dtype = jnp.float32,
+    axis_name: str | None = None,
+    momentum: float = BN_MOMENTUM,
+    epsilon: float = BN_EPS,
+):
+    """BatchNorm2d with the reference's eps/momentum and optional sync-BN.
+
+    Must be called inside a parent module's ``@nn.compact`` — the BN params
+    live directly under the parent at ``<name>/`` so flax paths mirror torch
+    state_dict keys 1:1 (e.g. ``conv1/bn/scale`` ↔ ``conv1.bn.weight``).
+    """
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=momentum,
+        epsilon=epsilon,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        axis_name=axis_name if train else None,
+        name=name,
+    )(x)
+
+
+class BaseConv(nn.Module):
+    """Conv2d -> BatchNorm -> activation (reference `BaseConv`, :29-54).
+
+    NHWC, explicit torch-"same" padding ``(k-1)//2``, no conv bias.
+    """
+
+    out_channels: int
+    ksize: int
+    stride: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = (self.ksize - 1) // 2
+        x = nn.Conv(
+            features=self.out_channels,
+            kernel_size=(self.ksize, self.ksize),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = batch_norm(x, train, dtype=self.dtype, axis_name=self.bn_axis_name)
+        return get_activation(self.act)(x)
+
+
+class DWConv(nn.Module):
+    """Depthwise conv + pointwise conv (reference `DWConv`, :57-76)."""
+
+    out_channels: int
+    ksize: int
+    stride: int = 1
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        x = BaseConv(
+            in_ch, self.ksize, self.stride, groups=in_ch, act=self.act,
+            dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="dconv",
+        )(x, train)
+        x = BaseConv(
+            self.out_channels, 1, 1, act=self.act,
+            dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="pconv",
+        )(x, train)
+        return x
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck (reference `Bottleneck`, :79-101)."""
+
+    out_channels: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.out_channels * self.expansion)
+        y = BaseConv(
+            hidden, 1, 1, act=self.act, dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name, name="conv1",
+        )(x, train)
+        Conv = DWConv if self.depthwise else BaseConv
+        y = Conv(
+            self.out_channels, 3, 1, act=self.act, dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name, name="conv2",
+        )(y, train)
+        if self.shortcut and x.shape[-1] == self.out_channels:
+            y = y + x
+        return y
+
+
+class ResLayer(nn.Module):
+    """YOLOv3 residual layer (reference `ResLayer`, :104-119)."""
+
+    dtype: Dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        mid = in_ch // 2
+        y = BaseConv(mid, 1, 1, act="lrelu", dtype=self.dtype,
+                     bn_axis_name=self.bn_axis_name, name="layer1")(x, train)
+        y = BaseConv(in_ch, 3, 1, act="lrelu", dtype=self.dtype,
+                     bn_axis_name=self.bn_axis_name, name="layer2")(y, train)
+        return x + y
+
+
+def _maxpool_same(x, ksize: int):
+    """stride-1 max pool with torch's ks//2 padding (pads with -inf)."""
+    pad = ksize // 2
+    return nn.max_pool(
+        x,
+        window_shape=(ksize, ksize),
+        strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+    )
+
+
+class SPPBottleneck(nn.Module):
+    """Spatial pyramid pooling (reference `SPPBottleneck`, :122-144)."""
+
+    out_channels: int
+    kernel_sizes: Sequence[int] = (5, 9, 13)
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = x.shape[-1] // 2
+        x = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype,
+                     bn_axis_name=self.bn_axis_name, name="conv1")(x, train)
+        pools = [_maxpool_same(x, ks) for ks in self.kernel_sizes]
+        x = jnp.concatenate([x] + pools, axis=-1)
+        x = BaseConv(self.out_channels, 1, 1, act=self.act, dtype=self.dtype,
+                     bn_axis_name=self.bn_axis_name, name="conv2")(x, train)
+        return x
+
+
+class CSPLayer(nn.Module):
+    """C3 CSP bottleneck with 3 convs (reference `CSPLayer`, :147-185)."""
+
+    out_channels: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.out_channels * self.expansion)
+        kw = dict(act=self.act, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x1 = BaseConv(hidden, 1, 1, name="conv1", **kw)(x, train)
+        x2 = BaseConv(hidden, 1, 1, name="conv2", **kw)(x, train)
+        for i in range(self.n):
+            x1 = Bottleneck(
+                hidden, self.shortcut, 1.0, self.depthwise,
+                act=self.act, dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name, name=f"m_{i}",
+            )(x1, train)
+        x = jnp.concatenate([x1, x2], axis=-1)
+        return BaseConv(self.out_channels, 1, 1, name="conv3", **kw)(x, train)
+
+
+def space_to_depth_2x2(x):
+    """2x2 space-to-depth with the reference's channel order
+    (top-left, bottom-left, top-right, bottom-right —
+    `network_blocks.py:195-209`), NHWC.
+    """
+    tl = x[:, ::2, ::2, :]
+    bl = x[:, 1::2, ::2, :]
+    tr = x[:, ::2, 1::2, :]
+    br = x[:, 1::2, 1::2, :]
+    return jnp.concatenate([tl, bl, tr, br], axis=-1)
+
+
+class Focus(nn.Module):
+    """Focus w/h info into channel space (reference `Focus`, :188-210)."""
+
+    out_channels: int
+    ksize: int = 1
+    stride: int = 1
+    act: str = "silu"
+    dtype: Dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = space_to_depth_2x2(x)
+        return BaseConv(
+            self.out_channels, self.ksize, self.stride, act=self.act,
+            dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="conv",
+        )(x, train)

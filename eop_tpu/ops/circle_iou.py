@@ -1,0 +1,133 @@
+"""Concentric-circle intersection / GIoU — the 24-point detector's core metric.
+
+The reference models each of the 24 radial distances as a circle centred on
+the object centre and scores prediction-vs-GT agreement with a per-circle
+GIoU (`/root/reference/yolox_24p/models/losses.py:23-157`,
+`/root/reference/yolox_24p/utils/boxes.py:102-243`).
+
+TPU-first re-design: the reference's boolean-index writes (``res[idx] = …``)
+force dynamic shapes; here every branch is a ``jnp.where`` select, so the
+whole computation is one fused elementwise VPU pipeline that broadcasts over
+arbitrary leading shapes — matched pairs ``[N, 24]`` and the SimOTA pairwise
+block ``[G, P, 24]`` use the same code.
+
+Numeric quirks of the reference that we pin for parity (they shape training):
+* acos arguments are clipped to ±0.99 (not ±1) — `losses.py:50-51`;
+* intersection-area branch precedence is “contained” then “disjoint”
+  (disjoint wins when both hold) — `losses.py:59-72`;
+* eps 1e-8 in the denominators, 1e-6 in the IoU.
+
+The pairwise SimOTA statistic: the reference returns ``mean(1-giou)/2`` — a
+*loss* — and feeds it to ``-log(x)`` + dynamic-k top-k as if it were an IoU
+(higher = better), inverting the semantics (`yolox_24p/utils/boxes.py:238-243`).
+``pairwise_circle_similarity(..., reference_parity=True)`` reproduces that
+bug; the default returns the corrected similarity ``(1+mean(giou))/2`` ∈[0,1].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_PI = np.pi
+
+
+def circle_inter(dist, r_a, r_b):
+    """Intersection area of two circles at centre distance ``dist``.
+
+    All args broadcast elementwise. Mirrors `losses.py:23-78` (same clips,
+    same eps, same branch precedence).
+    """
+    min_r = jnp.minimum(r_a, r_b)
+    max_r = jnp.maximum(r_a, r_b)
+
+    ac_min = (min_r**2 + dist**2 - max_r**2) / (2.0 * min_r * dist + 1e-8)
+    ac_max = (max_r**2 + dist**2 - min_r**2) / (2.0 * max_r * dist + 1e-8)
+    ac_min = jnp.clip(ac_min, -0.99, 0.99)
+    ac_max = jnp.clip(ac_max, -0.99, 0.99)
+
+    ang_min = jnp.arccos(ac_min)
+    ang_max = jnp.arccos(ac_max)
+
+    inter = (
+        ang_min * min_r**2
+        + ang_max * max_r**2
+        - min_r * dist * jnp.sin(ang_min)
+    )
+
+    contained = jnp.abs(r_a - r_b) >= dist  # small circle inside big one
+    disjoint = dist >= r_a + r_b            # no overlap (wins over contained)
+
+    res = jnp.where(contained, _PI * min_r**2, inter)
+    res = jnp.where(disjoint, jnp.zeros_like(res), res)
+    return res
+
+
+def circle_giou_24(dist, r_gt, r_pd):
+    """Per-circle GIoU for matched pairs (ref `IOUloss.forward:117-151`).
+
+    Args broadcast elementwise; typical shapes ``dist [N, 1]`` or ``[N, 24]``
+    against radii ``[N, 24]``.
+
+    Returns giou (same shape as radii); the training loss is ``1 - giou``.
+    """
+    area_gt = _PI * r_gt**2
+    area_pd = _PI * r_pd**2
+    inter = circle_inter(dist, r_gt, r_pd)
+    union = area_gt + area_pd - inter
+    iou = inter / (union + 1e-6)
+
+    # Enclosing circle: half the (r1 + r2 + d) chord, or the larger radius
+    # when one circle contains the other.
+    contained = jnp.abs(r_gt - r_pd) >= dist
+    max_r = jnp.maximum(r_gt, r_pd)
+    c_l = jnp.where(contained, max_r, (r_gt + r_pd + dist) * 0.5)
+    c_s = _PI * c_l**2
+
+    giou = iou - (c_s - union) / c_s
+    return giou
+
+
+def matched_circle_giou_loss(gt_centers, gt_radii, pd_centers, pd_radii):
+    """Per-point vector loss ``1 - giou`` for matched (gt, pred) rows.
+
+    Args:
+      gt_centers, pd_centers: [N, 2]; gt_radii, pd_radii: [N, 24].
+    Returns: [N, 24] loss (ref `IOUloss.forward` return, `losses.py:151-157`).
+    """
+    dist = jnp.sqrt(
+        jnp.sum((gt_centers - pd_centers) ** 2, axis=-1, keepdims=True)
+    )
+    giou = circle_giou_24(dist, gt_radii, pd_radii)
+    return 1.0 - giou
+
+
+def pairwise_circle_giou_loss(gt_centers, gt_radii, pd_centers, pd_radii):
+    """All-pairs mean circle-GIoU loss matrix ``mean(1-giou, 24)/2`` ∈ [0, 1].
+
+    Args:
+      gt_centers: [G, 2]; gt_radii: [G, 24];
+      pd_centers: [P, 2]; pd_radii: [P, 24].
+    Returns: [G, P] loss (ref `bboxes_iou`, `yolox_24p/utils/boxes.py:166-243`).
+    """
+    dist = jnp.sqrt(
+        jnp.sum(
+            (gt_centers[:, None, :] - pd_centers[None, :, :]) ** 2, axis=-1
+        )
+    )[..., None]  # [G, P, 1]
+    giou = circle_giou_24(dist, gt_radii[:, None, :], pd_radii[None, :, :])
+    return jnp.mean(1.0 - giou, axis=-1) * 0.5
+
+
+def pairwise_circle_similarity(
+    gt_centers, gt_radii, pd_centers, pd_radii, reference_parity: bool = False
+):
+    """SimOTA pairing statistic, [G, P].
+
+    ``reference_parity=True``: the reference's raw loss value (inverted
+    semantics — it treats this loss as an IoU).  Default: corrected
+    similarity ``1 - loss = (1 + mean(giou))/2`` so that higher = better as
+    SimOTA's ``-log`` cost and dynamic-k expect.
+    """
+    loss = pairwise_circle_giou_loss(gt_centers, gt_radii, pd_centers, pd_radii)
+    return loss if reference_parity else 1.0 - loss

@@ -1,0 +1,130 @@
+"""Load modules from the read-only reference repo for parity testing.
+
+The reference imports some packages absent from this image (torchvision,
+loguru, pycocotools); we stub those in sys.modules *of the test process
+only* — the reference tree itself is never modified.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import sys
+import types
+
+REF = "/root/reference"
+
+
+def _ensure_stub(name: str, **attrs) -> types.ModuleType:
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+class _DummyLogger:
+    def __getattr__(self, _):
+        def _noop(*a, **k):
+            if _ == "catch":
+                return a[0] if a else (lambda f: f)
+            return None
+
+        return _noop
+
+    def catch(self, *a, **k):
+        if a and callable(a[0]):
+            return a[0]
+        return lambda f: f
+
+
+def install_stubs():
+    _ensure_stub("loguru", logger=_DummyLogger())
+    tv = _ensure_stub("torchvision")
+    ops = _ensure_stub("torchvision.ops")
+    tv.ops = ops
+
+    def _unavailable(*a, **k):
+        raise NotImplementedError("torchvision stub")
+
+    ops.nms = _unavailable
+    ops.batched_nms = _unavailable
+    _ensure_stub("thop", profile=_unavailable)
+
+
+def _synthetic_package(alias: str, path: str) -> types.ModuleType:
+    if alias in sys.modules:
+        return sys.modules[alias]
+    pkg = types.ModuleType(alias)
+    pkg.__path__ = [path]
+    pkg.__package__ = alias
+    sys.modules[alias] = pkg
+    return pkg
+
+
+def _load_file(alias: str, file_path: str) -> types.ModuleType:
+    if alias in sys.modules:
+        return sys.modules[alias]
+    spec = importlib.util.spec_from_file_location(alias, file_path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[alias] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def ref_models():
+    """The reference `yolox/models` package (torch), stubs installed."""
+    install_stubs()
+    # yolo_head does `from yolox.utils import bboxes_iou`: provide the REAL
+    # reference implementation under that name (boxes.py only needs the
+    # torchvision stub at import time).
+    if "yolox" not in sys.modules:
+        boxes = _load_file("_ref_yolox_boxes", f"{REF}/yolox/utils/boxes.py")
+        fake_yolox = _ensure_stub("yolox")
+        fake_utils = _ensure_stub("yolox.utils",
+                                  bboxes_iou=boxes.bboxes_iou,
+                                  postprocess=boxes.postprocess)
+        fake_yolox.utils = fake_utils
+    _synthetic_package("ref_models", f"{REF}/yolox/models")
+    return importlib.import_module("ref_models")
+
+
+def ref_module(name: str):
+    """Import `ref_models.<name>` (e.g. 'darknet', 'yolo_pafpn')."""
+    ref_models()
+    return importlib.import_module(f"ref_models.{name}")
+
+
+def ref_24p_losses():
+    """The reference 24p loss module (`yolox_24p/models/losses.py`)."""
+    install_stubs()
+    if "utils" not in sys.modules or not hasattr(
+        sys.modules.get("utils"), "bboxes_iou"
+    ):
+        boxes24 = _load_file(
+            "_ref_24p_boxes", f"{REF}/yolox_24p/utils/boxes.py"
+        )
+        _ensure_stub("utils",
+                     bboxes_iou=boxes24.bboxes_iou,
+                     postprocess=boxes24.postprocess)
+    _synthetic_package("ref_models_24p", f"{REF}/yolox_24p/models")
+    return importlib.import_module("ref_models_24p.losses")
+
+
+def ref_24p_boxes():
+    install_stubs()
+    return _load_file("_ref_24p_boxes", f"{REF}/yolox_24p/utils/boxes.py")
+
+
+def apply_init_yolo(torch_model):
+    """The reference's get_model BN re-init: eps 1e-3, momentum 0.03
+    (`yolox/exp/yolox_base.py:76-80`)."""
+    import torch.nn as nn
+
+    for m in torch_model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.eps = 1e-3
+            m.momentum = 0.03
+    return torch_model

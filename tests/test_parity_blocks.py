@@ -1,0 +1,114 @@
+"""fp32 output parity of network blocks vs the PyTorch reference
+(`yolox/models/network_blocks.py`), with weights imported torch -> flax."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from eop_tpu.ops import blocks as jblocks
+from eop_tpu.utils.torch_import import convert_state_dict, merge_into_variables
+
+import ref_loader
+
+RTOL, ATOL = 1e-5, 1e-5
+
+
+def to_nhwc(x_nchw: np.ndarray) -> np.ndarray:
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+def run_pair(torch_mod, flax_mod, x_nchw, train=False):
+    torch_mod = ref_loader.apply_init_yolo(torch_mod).eval()
+    with torch.no_grad():
+        ref_out = torch_mod(torch.from_numpy(x_nchw)).numpy()
+
+    x = jnp.asarray(to_nhwc(x_nchw))
+    template = flax_mod.init(jax.random.PRNGKey(0), x, False)
+    converted = convert_state_dict(
+        {k: v.numpy() for k, v in torch_mod.state_dict().items()}
+    )
+    variables, report = merge_into_variables(template, converted)
+    assert not report["missing"], report["missing"]
+    assert not report["unexpected"], report["unexpected"]
+    out = np.asarray(flax_mod.apply(variables, x, train))
+    return to_nhwc(ref_out), out
+
+
+def test_base_conv():
+    rb = ref_loader.ref_module("network_blocks")
+    x = np.random.RandomState(0).randn(2, 8, 16, 16).astype(np.float32)
+    ref, ours = run_pair(
+        rb.BaseConv(8, 16, ksize=3, stride=2),
+        jblocks.BaseConv(16, 3, 2),
+        x,
+    )
+    np.testing.assert_allclose(ref, ours, rtol=RTOL, atol=ATOL)
+
+
+def test_dwconv():
+    rb = ref_loader.ref_module("network_blocks")
+    x = np.random.RandomState(1).randn(1, 8, 12, 12).astype(np.float32)
+    ref, ours = run_pair(
+        rb.DWConv(8, 16, ksize=3, stride=1),
+        jblocks.DWConv(16, 3, 1),
+        x,
+    )
+    np.testing.assert_allclose(ref, ours, rtol=RTOL, atol=ATOL)
+
+
+def test_csp_layer():
+    rb = ref_loader.ref_module("network_blocks")
+    x = np.random.RandomState(2).randn(1, 16, 8, 8).astype(np.float32)
+    ref, ours = run_pair(
+        rb.CSPLayer(16, 16, n=2),
+        jblocks.CSPLayer(16, n=2),
+        x,
+    )
+    np.testing.assert_allclose(ref, ours, rtol=RTOL, atol=ATOL)
+
+
+def test_spp_bottleneck():
+    rb = ref_loader.ref_module("network_blocks")
+    x = np.random.RandomState(3).randn(1, 16, 16, 16).astype(np.float32)
+    ref, ours = run_pair(
+        rb.SPPBottleneck(16, 32),
+        jblocks.SPPBottleneck(32),
+        x,
+    )
+    np.testing.assert_allclose(ref, ours, rtol=RTOL, atol=ATOL)
+
+
+def test_focus():
+    rb = ref_loader.ref_module("network_blocks")
+    x = np.random.RandomState(4).randn(1, 3, 16, 16).astype(np.float32)
+    ref, ours = run_pair(
+        rb.Focus(3, 16, ksize=3),
+        jblocks.Focus(16, ksize=3),
+        x,
+    )
+    np.testing.assert_allclose(ref, ours, rtol=RTOL, atol=ATOL)
+
+
+def test_res_layer():
+    rb = ref_loader.ref_module("network_blocks")
+    x = np.random.RandomState(5).randn(1, 16, 8, 8).astype(np.float32)
+    ref, ours = run_pair(
+        rb.ResLayer(16),
+        jblocks.ResLayer(),
+        x,
+    )
+    np.testing.assert_allclose(ref, ours, rtol=RTOL, atol=ATOL)
+
+
+def test_bottleneck_shortcut():
+    rb = ref_loader.ref_module("network_blocks")
+    x = np.random.RandomState(6).randn(1, 16, 8, 8).astype(np.float32)
+    ref, ours = run_pair(
+        rb.Bottleneck(16, 16, shortcut=True),
+        jblocks.Bottleneck(16, shortcut=True),
+        x,
+    )
+    np.testing.assert_allclose(ref, ours, rtol=RTOL, atol=ATOL)
