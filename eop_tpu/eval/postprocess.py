@@ -1,0 +1,134 @@
+"""Batched post-processing (conf filter -> NMS) with static output capacity.
+
+Parity targets:
+* bbox `postprocess` (`/root/reference/yolox/utils/boxes.py:32-73`):
+  cxcywh -> xyxy, per-anchor best class, conf filter at
+  ``obj_conf * class_conf``, torchvision (batched_)nms, detection rows
+  ``[x1, y1, x2, y2, obj_conf, class_conf, class_pred]``.
+* 24p `postprocess` (`/root/reference/yolox_24p/utils/boxes.py:29-99`):
+  decode the 24 radii to xy points, take the min/max rectangle, NMS on that
+  rectangle, keep rows ``[x, y, r1..r24, obj_conf, class_conf, class_pred]``.
+  The reference scales each direction vector by its angle (θ·cosθ — ray 0
+  collapses; `boxes.py:32-33`), distorting the NMS rectangles;
+  ``reference_parity=True`` reproduces it, default uses correct cosθ
+  (matching the reference's own drawing code, `show_24p.py:346-353`).
+
+TPU-first: the reference returns Python lists of variable-length tensors;
+here every image yields exactly ``max_detections`` rows plus a validity
+mask, so the whole batch post-processes inside one jitted XLA program and
+transfers one fixed-size host array.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import cxcywh2xyxy
+from ..ops.nms import batched_class_nms, nms
+from ..ops.polygon import polygon_points_from_radii
+
+
+class Detections(NamedTuple):
+    """Fixed-capacity detections: rows [B, max_det, D], valid [B, max_det]."""
+
+    rows: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def count(self):
+        return jnp.sum(self.valid, axis=-1)
+
+
+def _select_rows(rows, keep, order, max_det):
+    """Compact kept rows (sorted by score) into the first slots."""
+    scores_rank = jnp.where(keep, jnp.arange(keep.shape[0]), keep.shape[0])
+    # candidates already sorted by score; stable select of kept ones
+    sel = jnp.argsort(scores_rank)[:max_det]
+    out = rows[order][sel]
+    valid = keep[sel]
+    return out, valid
+
+
+def postprocess_bbox(
+    decoded,                    # [B, A, 5+C]: cxcywh, obj, cls (sigmoided)
+    num_classes: int,
+    conf_thre: float = 0.7,
+    nms_thre: float = 0.45,
+    class_agnostic: bool = False,
+    max_detections: int = 300,
+    nms_candidates: int = 1000,
+) -> Detections:
+    """Returns rows [B, max_det, 7]: x1, y1, x2, y2, obj, cls_conf, cls."""
+
+    def per_image(pred):
+        boxes = cxcywh2xyxy(pred[:, :4])
+        obj = pred[:, 4]
+        cls_conf = jnp.max(pred[:, 5 : 5 + num_classes], axis=1)
+        cls_id = jnp.argmax(pred[:, 5 : 5 + num_classes], axis=1)
+        scores = obj * cls_conf
+        # ref conf filter: obj*class_conf >= conf_thre → score_threshold just
+        # below to keep >= semantics under float compare
+        if class_agnostic:
+            keep, order = nms(boxes, scores, nms_thre,
+                              conf_thre - 1e-12, nms_candidates)
+        else:
+            keep, order = batched_class_nms(
+                boxes, scores, cls_id, nms_thre,
+                conf_thre - 1e-12, nms_candidates,
+            )
+        rows = jnp.concatenate(
+            [boxes, obj[:, None], cls_conf[:, None],
+             cls_id.astype(pred.dtype)[:, None]],
+            axis=1,
+        )
+        return _select_rows(rows, keep, order, max_detections)
+
+    rows, valid = jax.vmap(per_image)(decoded)
+    return Detections(rows=rows, valid=valid)
+
+
+def postprocess_24p(
+    decoded,                    # [B, A, 27+C]: x, y, 24 radii, obj, cls
+    num_classes: int,
+    conf_thre: float = 0.01,
+    nms_thre: float = 0.3,
+    class_agnostic: bool = False,
+    max_detections: int = 300,
+    nms_candidates: int = 1000,
+    reference_parity: bool = False,
+) -> Detections:
+    """Returns rows [B, max_det, 29]: x, y, r1..r24, obj, cls_conf, cls."""
+
+    def per_image(pred):
+        centers = pred[:, 0:2]
+        radii = pred[:, 2:26]
+        obj = pred[:, 26]
+        cls_conf = jnp.max(pred[:, 27 : 27 + num_classes], axis=1)
+        cls_id = jnp.argmax(pred[:, 27 : 27 + num_classes], axis=1)
+        scores = obj * cls_conf
+
+        pts = polygon_points_from_radii(centers, radii, reference_parity)
+        boxes = jnp.concatenate(
+            [jnp.min(pts, axis=1), jnp.max(pts, axis=1)], axis=-1
+        )  # [A, 4] xyxy enclosing rect
+
+        if class_agnostic:
+            keep, order = nms(boxes, scores, nms_thre,
+                              conf_thre - 1e-12, nms_candidates)
+        else:
+            keep, order = batched_class_nms(
+                boxes, scores, cls_id, nms_thre,
+                conf_thre - 1e-12, nms_candidates,
+            )
+        rows = jnp.concatenate(
+            [centers, radii, obj[:, None], cls_conf[:, None],
+             cls_id.astype(pred.dtype)[:, None]],
+            axis=1,
+        )
+        return _select_rows(rows, keep, order, max_detections)
+
+    rows, valid = jax.vmap(per_image)(decoded)
+    return Detections(rows=rows, valid=valid)

@@ -1,0 +1,8 @@
+from .mesh import (
+    DATA_AXIS,
+    make_mesh,
+    replicated,
+    batch_sharded,
+    shard_batch,
+    shard_train_step,
+)

@@ -1,0 +1,9 @@
+from .ema import ema_update
+from .lr_schedule import LRScheduler, yolox_warm_cos_lr
+from .optimizer import build_sgd
+from .steps import (
+    TrainState,
+    create_train_state,
+    make_train_step_24p,
+    make_train_step_bbox,
+)
