@@ -1,0 +1,153 @@
+"""24-point dataset + transforms (txt label files).
+
+Parity targets: `COCO24PDataset` (`/root/reference/yolox_24p/datasets/coco24p.py`)
+and the 24p `TrainTransform`/`ValTransform`
+(`/root/reference/yolox_24p/datasets/data_augment.py:131-207`).
+
+Label files: one txt per image, rows of 51 floats
+``[cls, cx, cy, 24×(x, y)]``, all coordinates normalized to the original
+image size (the output of the label generator, `labels24p.py`).
+
+Divergences from the reference (documented):
+* data/label directories are constructor arguments, not hardcoded user
+  paths (`coco24p.py:19-20`);
+* the reference's ``load_image`` returns ``(h, h)`` for (h, w)
+  (`coco24p.py:57`) — a bug with no downstream effect (only ``img_info``
+  metadata); we return the real width.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Optional
+
+import cv2
+import numpy as np
+
+from .augment import preproc
+from .datasets_wrapper import Dataset
+
+
+class COCO24PDataset(Dataset):
+    """COCO-24P dataset over per-image txt label files (ref `:11-131`)."""
+
+    def __init__(self, data_dir: str, label_dir: str, img_size=(640, 640),
+                 preproc=None):
+        super().__init__(img_size)
+        self.data_dir = data_dir
+        self.label_dir = label_dir
+        self.coco24p_dict, self.image_list = self.load_label_from_txt()
+        self.item_numb = len(self.coco24p_dict)
+        self.imgs = None
+        self.img_size = img_size
+        self.preproc = preproc
+
+    def __len__(self):
+        return self.item_numb
+
+    def load_label_from_txt(self):
+        """Load every label txt into RAM up-front (ref `:37-50`)."""
+        label_dict = {}
+        image_list = []
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for label in sorted(os.listdir(self.label_dir)):
+                if not label.endswith(".txt"):
+                    continue
+                info = np.loadtxt(
+                    os.path.join(self.label_dir, label), dtype=float
+                )
+                label_dict[label.split(".")[0]] = info
+                image_list.append(label.replace("txt", "jpg"))
+        return label_dict, image_list
+
+    def load_image(self, img_name):
+        img_file = os.path.join(self.data_dir, img_name)
+        img = cv2.imread(img_file)
+        assert img is not None, f"image {img_file} not found"
+        return img, img.shape[0], img.shape[1]
+
+    def load_resized_img(self, img_name):
+        img, ori_h, ori_w = self.load_image(img_name)
+        r = min(
+            self.img_size[0] / img.shape[0], self.img_size[1] / img.shape[1]
+        )
+        resized = cv2.resize(
+            img,
+            (int(img.shape[1] * r), int(img.shape[0] * r)),
+            interpolation=cv2.INTER_LINEAR,
+        ).astype(np.uint8)
+        return resized, r, ori_h, ori_w
+
+    def load_anno(self, index):
+        key = self.image_list[index].split(".")[0]
+        return self.coco24p_dict[key]
+
+    def pull_item(self, index):
+        img_name = self.image_list[index]
+        key = img_name.split(".")[0]
+        label_info = self.coco24p_dict[key]
+        if len(label_info.shape) == 1:
+            label_info = label_info[np.newaxis, :]
+        img_id = int(key)
+        img, r, ori_h, ori_w = self.load_resized_img(img_name)
+        return img, label_info, (ori_h, ori_w), np.array([img_id])
+
+    def __getitem__(self, index):
+        img, target, img_info, img_id = self.pull_item(index)
+        if self.preproc is not None:
+            img, target = self.preproc(img, target, self.img_size)
+        return img, target, img_info, img_id
+
+
+class TrainTransform24P:
+    """De-normalize 24p coords, letterbox, pad to [max_labels, 51]
+    (ref 24p `TrainTransform:131-174`).  The reference parses but never
+    applies flip/HSV (`flip_prob` unused there); ditto here for parity."""
+
+    def __init__(self, max_labels=50, flip_prob=0.5):
+        self.max_labels = max_labels
+        self.flip_prob = flip_prob
+
+    def __call__(self, image, targets, input_dim):
+        if targets.shape[1] == 0:
+            targets = np.zeros((self.max_labels, 51), dtype=np.float32)
+            image, _ = preproc(image, input_dim)
+            return image, targets
+
+        height_o, width_o, _ = image.shape
+        boxes24p = targets[:, 1:].copy()
+        labels24p = targets[:, 0].copy()
+
+        # normalized -> pixel coords of the (resized) input image
+        boxes24p[:, 0::2] = boxes24p[:, 0::2] * width_o
+        boxes24p[:, 1::2] = boxes24p[:, 1::2] * height_o
+
+        image_t, r = preproc(image, input_dim)
+        boxes24p *= r
+
+        targets_t = np.hstack((labels24p[:, None], boxes24p))
+        padded = np.zeros((self.max_labels, 51), dtype=np.float32)
+        padded[: min(len(targets_t), self.max_labels)] = targets_t[
+            : self.max_labels
+        ]
+        return image_t, np.ascontiguousarray(padded, np.float32)
+
+
+class ValTransform24P:
+    """Letterbox only; also returns the un-normalized padded uint8 image
+    (ref 24p `ValTransform:177-207` returns ``img_pad`` for display)."""
+
+    def __init__(self, legacy: bool = False):
+        self.legacy = legacy
+
+    def __call__(self, img, res, input_size):
+        img_f, _ = preproc(img, input_size)
+        img_pad = img_f.astype(np.uint8)
+        if self.legacy:
+            img_f = img_f[:, :, ::-1].copy()
+            img_f /= 255.0
+            img_f -= np.array([0.485, 0.456, 0.406]).reshape(1, 1, 3)
+            img_f /= np.array([0.229, 0.224, 0.225]).reshape(1, 1, 3)
+        return img_f, np.zeros((1, 5), dtype=np.float32), img_pad

@@ -38,7 +38,6 @@ MAX_K = 10
 
 
 class SimOTAConfig(NamedTuple):
-    num_classes: int = 80
     center_radius: float = CENTER_RADIUS
     max_k: int = MAX_K
     iou_weight: float = 3.0
@@ -176,6 +175,7 @@ def simota_assign(
     cls_logits,    # [A, C]
     grids,         # [A, 2]
     strides,       # [A]
+    num_classes: int,
     config: SimOTAConfig,
 ) -> Assignment:
     """Full per-image SimOTA for the bbox head (ref `get_assignments:424-520`).
@@ -197,7 +197,7 @@ def simota_assign(
     iou_cost = -jnp.log(pair_iou + 1e-8)
 
     cls_cost = pairwise_cls_cost(
-        cls_logits, obj_logits, gt_classes, config.num_classes
+        cls_logits, obj_logits, gt_classes, num_classes
     )
 
     is_candidate = jnp.broadcast_to(fg_candidate[None, :], pair_iou.shape)

@@ -62,7 +62,7 @@ def yolox_losses(
 
     assign: Assignment = jax.vmap(
         lambda lab, bp, ol, cl: simota_assign(
-            lab, bp, ol, cl, grids, strides, config.simota
+            lab, bp, ol, cl, grids, strides, c, config.simota
         )
     )(labels.astype(jnp.float32), bbox_preds, obj_logits, cls_logits)
 
