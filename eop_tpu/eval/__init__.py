@@ -3,3 +3,11 @@ from .postprocess import (
     postprocess_bbox,
     postprocess_24p,
 )
+from .coco_eval import COCOeval, COCOeval_opt
+from .coco_evaluator import (
+    COCOEvaluator,
+    per_class_AP_table,
+    per_class_AR_table,
+)
+from .voc_eval import voc_eval
+from .voc_evaluator import VOCEvaluator

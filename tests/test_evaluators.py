@@ -1,0 +1,94 @@
+"""Evaluator integration: COCOEvaluator over a loader with an oracle
+infer_fn (returns GT boxes) must give AP = 1."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from eop_tpu.data.augment import ValTransform
+from eop_tpu.data.coco_dataset import COCODataset
+from eop_tpu.data.dataloading import DataLoader
+from eop_tpu.eval import COCOEvaluator, Detections
+
+
+@pytest.fixture(scope="module")
+def coco_val_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cocoval")
+    (root / "annotations").mkdir()
+    (root / "val2017").mkdir()
+    rng = np.random.RandomState(1)
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, 5):
+        h, w = 120, 160
+        img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        name = f"{img_id:012}.jpg"
+        cv2.imwrite(str(root / "val2017" / name), img)
+        images.append(
+            {"id": img_id, "width": w, "height": h, "file_name": name}
+        )
+        for _ in range(2):
+            bw, bh = int(rng.randint(20, 50)), int(rng.randint(20, 50))
+            x = int(rng.randint(0, w - bw))
+            y = int(rng.randint(0, h - bh))
+            annotations.append(
+                {"id": ann_id, "image_id": img_id,
+                 "category_id": int(rng.choice([1, 2])),
+                 "bbox": [float(x), float(y), float(bw), float(bh)],
+                 "area": float(bw * bh), "iscrowd": 0}
+            )
+            ann_id += 1
+    categories = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    with open(root / "annotations" / "instances_val2017.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": categories}, f)
+    return str(root)
+
+
+def test_coco_evaluator_oracle(coco_val_dir):
+    img_size = (128, 128)
+    ds = COCODataset(
+        data_dir=coco_val_dir, json_file="instances_val2017.json",
+        name="val2017", img_size=img_size, preproc=ValTransform(),
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=0)
+    evaluator = COCOEvaluator(
+        loader, img_size=img_size, confthre=0.01, nmsthre=0.65,
+        num_classes=2, per_class_AP=True, per_class_AR=True,
+    )
+
+    # oracle: return the GT boxes (already pre-scaled by the dataset) as
+    # fixed-capacity detections
+    coco = ds.coco
+    max_det = 10
+
+    class Oracle:
+        def __init__(self):
+            self.idx = 0
+
+        def __call__(self, imgs):
+            b = imgs.shape[0]
+            rows = np.zeros((b, max_det, 7), np.float32)
+            valid = np.zeros((b, max_det), bool)
+            for i in range(b):
+                anno = ds.annotations[self.idx][0]  # [N, 5] xyxy+cls scaled
+                n = min(len(anno), max_det)
+                rows[i, :n, 0:4] = anno[:n, 0:4]
+                rows[i, :n, 4] = 0.9
+                rows[i, :n, 5] = 1.0
+                rows[i, :n, 6] = anno[:n, 4]
+                valid[i, :n] = True
+                self.idx += 1
+            return Detections(rows=jnp.asarray(rows),
+                              valid=jnp.asarray(valid))
+
+    ap5095, ap50, summary = evaluator.evaluate(Oracle())
+    assert ap50 == pytest.approx(1.0, abs=1e-6), summary
+    assert ap5095 == pytest.approx(1.0, abs=1e-2), summary
+    assert "per class AP" in summary
