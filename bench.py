@@ -51,7 +51,9 @@ def main():
     )
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (BATCH, 640, 640, 3), jnp.float32) * 255.0
-    variables = model.init(rng, x[:1], False)
+    from eop_tpu.models import init_model
+
+    variables = init_model(model, rng, x[:1])
 
     @jax.jit
     def infer(v, imgs):

@@ -20,8 +20,6 @@ from typing import Optional, Tuple
 import cv2
 import numpy as np
 
-from ..ops.boxes import xyxy2cxcywh as _xyxy2cxcywh_jnp
-
 
 def xyxy2cxcywh_np(bboxes: np.ndarray) -> np.ndarray:
     bboxes = bboxes.copy()

@@ -94,6 +94,7 @@ class COCO24PDataset(Dataset):
         img, r, ori_h, ori_w = self.load_resized_img(img_name)
         return img, label_info, (ori_h, ori_w), np.array([img_id])
 
+    @Dataset.mosaic_getitem
     def __getitem__(self, index):
         img, target, img_info, img_id = self.pull_item(index)
         if self.preproc is not None:

@@ -96,6 +96,7 @@ class DataLoader:
         prefetch_batches: int = 2,
         pin_memory: bool = False,  # accepted for API parity; no-op
         seed: Optional[int] = None,
+        mp_context: str = "spawn",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -117,6 +118,10 @@ class DataLoader:
                 input_dimension=getattr(dataset, "input_dim", None),
             )
         self.batch_sampler = batch_sampler
+        # "spawn" by default: forking a process that already initialized
+        # the TPU/XLA client deadlocks; spawned workers import only the
+        # (jax-free) data modules.
+        self.mp_context = mp_context
         self._workers = []
         self._task_q = None
         self._result_q = None
@@ -131,7 +136,7 @@ class DataLoader:
     # ------------------------------------------------------------------
 
     def _start_workers(self):
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context(self.mp_context)
         self._task_q = ctx.Queue()
         self._result_q = ctx.Queue()
         self._workers = []

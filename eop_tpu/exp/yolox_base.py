@@ -1,0 +1,304 @@
+"""YOLOX-family experiment defaults + factories.
+
+Parity target: `Exp` (`/root/reference/yolox/exp/yolox_base.py:15-285`) —
+every hyperparameter default, the backbone-swappable model factory, the
+mosaic train loader, multiscale `random_resize`/`preprocess`, the
+wd-grouped optimizer, yoloxwarmcos scheduling, and the eval loader /
+COCO evaluator factories.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .base_exp import BaseExp
+
+
+class Exp(BaseExp):
+    def __init__(self):
+        super().__init__()
+
+        # ---------------- model config ---------------- #
+        self.num_classes = 80
+        self.depth = 1.00
+        self.width = 1.00
+        self.act = "silu"
+        self.backbone_type = "darknet"
+        self.depthwise = False
+
+        # ---------------- dataloader config ---------------- #
+        self.data_num_workers = 4
+        self.input_size = (640, 640)  # (height, width)
+        self.multiscale_range = 5      # ±range×32 px
+        self.random_size: Optional[Tuple[int, int]] = None
+        self.data_dir = None
+        self.train_ann = "instances_train2017.json"
+        self.val_ann = "instances_val2017.json"
+        self.test_ann = "instances_test2017.json"
+
+        # --------------- transform config ----------------- #
+        self.mosaic_prob = 1.0
+        self.mixup_prob = 1.0
+        self.hsv_prob = 1.0
+        self.flip_prob = 0.5
+        self.degrees = 10.0
+        self.translate = 0.1
+        self.mosaic_scale = (0.1, 2)
+        self.mixup_scale = (0.5, 1.5)
+        self.shear = 2.0
+        self.enable_mixup = True
+
+        # --------------  training config --------------------- #
+        self.warmup_epochs = 5
+        self.max_epoch = 300
+        self.warmup_lr = 0
+        self.basic_lr_per_img = 0.01 / 64.0
+        self.scheduler = "yoloxwarmcos"
+        self.no_aug_epochs = 15
+        self.min_lr_ratio = 0.05
+        self.ema = True
+        self.ema_decay = 0.9998
+
+        self.weight_decay = 5e-4
+        self.momentum = 0.9
+        self.print_interval = 10
+        self.eval_interval = 10
+        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(
+            "."
+        )[0]
+
+        # -----------------  testing config ------------------ #
+        self.test_size = (640, 640)
+        self.test_conf = 0.01
+        self.nmsthre = 0.65
+
+        # compute dtype for the conv trunk ("bfloat16" for TPU speed)
+        self.compute_dtype = "float32"
+
+    # ------------------------------------------------------------------
+
+    def get_model(self, backbone_type: Optional[str] = None):
+        """Flax model definition (ref `get_model:73-90`; BN eps/momentum are
+        baked into the blocks, prior-prob bias init into the head)."""
+        import jax.numpy as jnp
+
+        from ..models import YOLOX
+
+        dtype = getattr(jnp, self.compute_dtype)
+        if getattr(self, "model", None) is None:
+            self.model = YOLOX(
+                backbone_type=backbone_type or self.backbone_type,
+                depth=self.depth,
+                width=self.width,
+                num_classes=self.num_classes,
+                act=self.act,
+                depthwise=self.depthwise,
+                dtype=dtype,
+            )
+        return self.model
+
+    def get_data_loader(self, batch_size, is_distributed, no_aug=False,
+                        cache_img=False, rank=0, world_size=1, seed=None):
+        """Mosaic train loader (ref `get_data_loader:92-164`)."""
+        from ..data.augment import TrainTransform
+        from ..data.coco_dataset import COCODataset
+        from ..data.dataloading import DataLoader, worker_init_reset_seed
+        from ..data.mosaic import MosaicDetection
+        from ..data.samplers import InfiniteSampler, YoloBatchSampler
+
+        dataset = COCODataset(
+            data_dir=self.data_dir,
+            json_file=self.train_ann,
+            img_size=self.input_size,
+            preproc=TrainTransform(
+                max_labels=50, flip_prob=self.flip_prob,
+                hsv_prob=self.hsv_prob,
+            ),
+            cache=cache_img,
+        )
+        dataset = MosaicDetection(
+            dataset,
+            mosaic=not no_aug,
+            img_size=self.input_size,
+            preproc=TrainTransform(
+                max_labels=120, flip_prob=self.flip_prob,
+                hsv_prob=self.hsv_prob,
+            ),
+            degrees=self.degrees,
+            translate=self.translate,
+            mosaic_scale=self.mosaic_scale,
+            mixup_scale=self.mixup_scale,
+            shear=self.shear,
+            enable_mixup=self.enable_mixup,
+            mosaic_prob=self.mosaic_prob,
+            mixup_prob=self.mixup_prob,
+            seed=seed,
+        )
+        self.dataset = dataset
+
+        if is_distributed:
+            batch_size = batch_size // world_size
+        sampler = InfiniteSampler(
+            len(dataset), seed=self.seed if self.seed else 0,
+            rank=rank, world_size=world_size,
+        )
+        batch_sampler = YoloBatchSampler(
+            sampler, batch_size, drop_last=False,
+            mosaic=not no_aug,
+            input_dimension=self.input_size,
+        )
+        return DataLoader(
+            dataset,
+            batch_sampler=batch_sampler,
+            num_workers=self.data_num_workers,
+            worker_init_fn=worker_init_reset_seed,
+        )
+
+    def random_resize(self, rank: int = 0, is_distributed: bool = False):
+        """Draw a multiscale size (ref `random_resize:166-185`; the rank-0
+        broadcast is unnecessary when all hosts share the seed stream —
+        each host draws the same size from a shared counter)."""
+        if self.random_size is None:
+            min_size = int(self.input_size[0] / 32) - self.multiscale_range
+            max_size = int(self.input_size[0] / 32) + self.multiscale_range
+            self.random_size = (min_size, max_size)
+        size = random.randint(*self.random_size)
+        size = (int(32 * size), int(32 * size))
+        return size
+
+    def preprocess(self, inputs, targets, tsize):
+        """Multiscale on-device resize + target rescale
+        (ref `preprocess:187-196`); jit-compatible per target size."""
+        import jax
+        import jax.numpy as jnp
+
+        scale_y = tsize[0] / self.input_size[0]
+        scale_x = tsize[1] / self.input_size[1]
+        if scale_x != 1 or scale_y != 1:
+            inputs = jax.image.resize(
+                inputs,
+                (inputs.shape[0], tsize[0], tsize[1], inputs.shape[3]),
+                method="bilinear",
+            )
+            targets = jnp.concatenate(
+                [
+                    targets[..., 0:1],
+                    targets[..., 1:2] * scale_x,
+                    targets[..., 2:3] * scale_y,
+                    targets[..., 3:4] * scale_x,
+                    targets[..., 4:5] * scale_y,
+                ],
+                axis=-1,
+            )
+        return inputs, targets
+
+    def get_optimizer(self, batch_size: int, iters_per_epoch: int = 1):
+        """Scheduled SGD with the reference's wd groups
+        (ref `get_optimizer:198-224` + per-iter scheduler).
+
+        optax calls the schedule with a traced step count, so the python
+        scheduler is tabulated once over the full run and looked up on
+        device.
+        """
+        import jax.numpy as jnp
+
+        from ..train.optimizer import build_sgd
+
+        lr = self.basic_lr_per_img * batch_size
+        sched = self.get_lr_scheduler(lr, iters_per_epoch)
+        total = max(iters_per_epoch * self.max_epoch, 1)
+        table = jnp.asarray(
+            np.asarray(
+                [sched.lr_func(i) for i in range(total + 1)], np.float32
+            )
+        )
+
+        def schedule(step):
+            return table[jnp.clip(step, 0, total)]
+
+        return build_sgd(
+            schedule,
+            momentum=self.momentum,
+            weight_decay=self.weight_decay,
+            nesterov=True,
+        )
+
+    def get_lr_scheduler(self, lr: float, iters_per_epoch: int):
+        from ..train.lr_schedule import LRScheduler
+
+        return LRScheduler(
+            self.scheduler,
+            lr,
+            iters_per_epoch,
+            self.max_epoch,
+            warmup_epochs=self.warmup_epochs,
+            warmup_lr_start=self.warmup_lr,
+            no_aug_epochs=self.no_aug_epochs,
+            min_lr_ratio=self.min_lr_ratio,
+        )
+
+    def get_eval_loader(self, batch_size, is_distributed=False,
+                        testdev=False, legacy=False):
+        """(ref `get_eval_loader:241-270`)."""
+        from ..data.augment import ValTransform
+        from ..data.coco_dataset import COCODataset
+        from ..data.dataloading import DataLoader
+
+        valdataset = COCODataset(
+            data_dir=self.data_dir,
+            json_file=self.val_ann if not testdev else self.test_ann,
+            name="val2017" if not testdev else "test2017",
+            img_size=self.test_size,
+            preproc=ValTransform(legacy=legacy),
+        )
+        return DataLoader(
+            valdataset, batch_size=batch_size, shuffle=False,
+            num_workers=self.data_num_workers,
+        )
+
+    def get_evaluator(self, batch_size, is_distributed=False, testdev=False,
+                      legacy=False):
+        """(ref `get_evaluator:272-285`)."""
+        from ..eval.coco_evaluator import COCOEvaluator
+
+        return COCOEvaluator(
+            dataloader=self.get_eval_loader(
+                batch_size, is_distributed, testdev, legacy
+            ),
+            img_size=self.test_size,
+            confthre=self.test_conf,
+            nmsthre=self.nmsthre,
+            num_classes=self.num_classes,
+            testdev=testdev,
+        )
+
+    def get_infer_fn(self, model, variables):
+        """Jitted forward + decode + NMS handle for evaluators."""
+        import jax
+
+        @jax.jit
+        def infer(imgs):
+            from ..eval.postprocess import postprocess_bbox
+            from ..models import inference_outputs
+
+            head_outs, _ = model.apply(variables, imgs, False)
+            decoded = inference_outputs(head_outs)
+            return postprocess_bbox(
+                decoded.astype(jax.numpy.float32),
+                num_classes=self.num_classes,
+                conf_thre=self.test_conf,
+                nms_thre=self.nmsthre,
+            )
+
+        return infer
+
+    def eval(self, model, variables, evaluator, is_distributed=False):
+        return evaluator.evaluate(
+            self.get_infer_fn(model, variables), is_distributed
+        )
+
+

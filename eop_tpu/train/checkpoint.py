@@ -1,0 +1,77 @@
+"""Checkpoint save/load (orbax).
+
+Parity target: `/root/reference/yolox/utils/checkpoint.py` —
+``save_checkpoint`` writing ``<name>_ckpt`` plus a ``best_ckpt`` copy, and
+``load_ckpt``'s shape-checked partial restore.  The stored payload mirrors
+the reference's ``{start_epoch, model, optimizer}`` as a TrainState pytree
+plus metadata; EMA weights travel inside the state like the reference's
+EMA-is-what-gets-saved behavior (`yolox/core/trainer.py:315-329`).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(state: Any, is_best: bool, save_dir: str,
+                    model_name: str, metadata: Optional[Dict] = None):
+    """Save ``<save_dir>/<model_name>_ckpt`` (+ ``best_ckpt`` copy)
+    (ref `save_checkpoint:36-43`)."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(save_dir, f"{model_name}_ckpt"))
+    payload = {"state": _to_host(state)}
+    if metadata:
+        payload["metadata"] = dict(metadata)
+    ckptr = ocp.PyTreeCheckpointer()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr.save(path, payload)
+    if is_best:
+        best = os.path.abspath(os.path.join(save_dir, "best_ckpt"))
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
+
+
+def load_checkpoint(path: str):
+    """Load a checkpoint directory -> payload dict."""
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_ckpt_partial(template: Any, ckpt_tree: Any):
+    """Shape-checked partial overlay (ref `load_ckpt:11-33`): keys missing
+    or shape-mismatched keep the template's value; returns (tree, report).
+    """
+    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+    flat_c = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(ckpt_tree)[0]
+    }
+    loaded, skipped = [], []
+
+    def merge(path, leaf):
+        key = jax.tree_util.keystr(path)
+        if key in flat_c:
+            cand = flat_c[key]
+            if getattr(cand, "shape", None) == getattr(leaf, "shape", None):
+                loaded.append(key)
+                return cand
+            skipped.append((key, getattr(cand, "shape", None),
+                            getattr(leaf, "shape", None)))
+        else:
+            skipped.append((key, None, getattr(leaf, "shape", None)))
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(merge, template)
+    return merged, {"loaded": loaded, "skipped": skipped}

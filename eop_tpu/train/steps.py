@@ -51,7 +51,9 @@ def create_train_state(
     use_ema: bool = True,
     with_dwa: bool = False,
 ) -> TrainState:
-    variables = model.init(rng, sample_input, False)
+    from ..models import init_model
+
+    variables = init_model(model, rng, sample_input)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

@@ -1,0 +1,318 @@
+"""Full-featured epoch/iter trainer (bbox family).
+
+Parity target: `Trainer` (`/root/reference/yolox/core/trainer.py:33-329`) —
+the reference's *latent* DDP trainer, implemented here as a first-class,
+actually-wired component: per-iter scheduled LR, EMA, MeterBuffer logging
+with ETA, multiscale every 10 iters, the no-aug switch (close mosaic +
+enable L1 + eval every epoch), resume/fine-tune, eval with EMA weights and
+best-checkpoint tracking.
+
+TPU re-design notes:
+* the iteration body is one jitted step (forward+SimOTA+loss+grad+SGD+EMA);
+  two step programs exist (L1 off/on) because ``use_l1`` is structural;
+* data parallelism is the mesh sharding from `eop_tpu.parallel` — no
+  launcher, no DDP wrapper, no GradScaler (bf16 needs no loss scaling);
+* multiscale resizing happens on device inside the step's shape bucket —
+  each of the 11 sizes compiles once and is cached;
+* BN stats are globally synced by GSPMD automatically (see parallel/mesh).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses import YoloxLossConfig
+from ..parallel.mesh import (
+    batch_sharded,
+    make_mesh,
+    replicated,
+    shard_train_step,
+)
+from ..utils.logger import logger, setup_logger
+from ..utils.metric import MeterBuffer, device_mem_usage
+from ..utils.model_utils import get_model_info
+from .checkpoint import load_checkpoint, load_ckpt_partial, save_checkpoint
+from .steps import TrainState, create_train_state, make_train_step_bbox
+
+
+class Trainer:
+    def __init__(self, exp, args):
+        self.exp = exp
+        self.args = args
+
+        self.max_epoch = exp.max_epoch
+        self.is_distributed = jax.device_count() > 1
+        self.use_ema = exp.ema
+        self.start_epoch = 0
+
+        self.input_size = exp.input_size
+        self.best_ap = 0.0
+        self.meter = MeterBuffer(window_size=exp.print_interval)
+        self.file_name = os.path.join(
+            exp.output_dir, getattr(args, "experiment_name", exp.exp_name)
+        )
+        os.makedirs(self.file_name, exist_ok=True)
+        setup_logger(self.file_name, 0, filename="train_log.txt", mode="a")
+
+    # ------------------------------------------------------------------
+
+    def train(self):
+        self.before_train()
+        try:
+            self.train_in_epoch()
+        finally:
+            self.after_train()
+
+    def before_train(self):
+        exp = self.exp
+        args = self.args
+        logger.info(f"args: {args}")
+        logger.info(f"exp value:\n{exp}")
+
+        batch_size = args.batch_size
+        self.model = exp.get_model()
+        rng = jax.random.PRNGKey(exp.seed or 0)
+        sample = jnp.zeros(
+            (1, self.input_size[0], self.input_size[1], 3), jnp.float32
+        )
+
+        self.no_aug = self.start_epoch >= self.max_epoch - exp.no_aug_epochs
+        self.train_loader = exp.get_data_loader(
+            batch_size=batch_size,
+            is_distributed=False,  # global batch; mesh shards it
+            no_aug=self.no_aug,
+            cache_img=getattr(args, "cache", False),
+        )
+        self.iters_per_epoch = len(self.train_loader)
+        self.tx = exp.get_optimizer(batch_size, self.iters_per_epoch)
+
+        self.state = create_train_state(
+            self.model, self.tx, rng, sample, use_ema=self.use_ema
+        )
+        logger.info(
+            "Model summary: "
+            + get_model_info(
+                self.model,
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats},
+                exp.test_size,
+            )
+        )
+        self.resume_train()
+
+        self.mesh = make_mesh()
+        self.batch_sharding = batch_sharded(self.mesh)
+        self._steps = {}  # (use_l1,) -> compiled step
+        self.evaluator = (
+            exp.get_evaluator(batch_size=batch_size)
+            if getattr(args, "data_available", True) and exp.data_dir
+            else None
+        )
+        self.use_l1 = False
+
+        self.tblogger = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tblogger = SummaryWriter(
+                os.path.join(self.file_name, "tensorboard")
+            )
+        except ImportError:
+            logger.info("tensorboardX unavailable; scalar logs only")
+        logger.info("Training start...")
+
+    def _get_step(self):
+        key = (self.use_l1,)
+        if key not in self._steps:
+            cfg = YoloxLossConfig(
+                num_classes=self.exp.num_classes, use_l1=self.use_l1
+            )
+            step = make_train_step_bbox(
+                self.model, self.tx, cfg,
+                ema_decay=self.exp.ema_decay if self.use_ema else None,
+            )
+            self._steps[key] = shard_train_step(step, self.mesh)
+        return self._steps[key]
+
+    def train_in_epoch(self):
+        for self.epoch in range(self.start_epoch, self.max_epoch):
+            self.before_epoch()
+            self.train_one_epoch()
+            self.after_epoch()
+
+    def before_epoch(self):
+        logger.info(f"---> start train epoch{self.epoch + 1}")
+        exp = self.exp
+        if (
+            self.epoch + 1 == self.max_epoch - exp.no_aug_epochs
+            or self.no_aug
+        ):
+            logger.info("--->No mosaic aug now!")
+            self.train_loader.close_mosaic()
+            logger.info("--->Add additional L1 loss now!")
+            self.use_l1 = True
+            exp.eval_interval = 1
+            if not self.no_aug:
+                self.save_ckpt(ckpt_name="last_mosaic_epoch")
+        self._epoch_iter = iter(self.train_loader)
+
+    def train_one_epoch(self):
+        step_fn = self._get_step()
+        tsize = self.input_size
+        for it in range(self.iters_per_epoch):
+            self._it = it
+            iter_start = time.time()
+            imgs, labels, _, _ = next(self._epoch_iter)
+            imgs = jnp.asarray(np.ascontiguousarray(imgs, np.float32))
+            labels = jnp.asarray(np.ascontiguousarray(labels, np.float32))
+            if tsize != self.input_size:
+                imgs, labels = self.exp.preprocess(imgs, labels, tsize)
+            data_time = time.time() - iter_start
+
+            step_fn = self._get_step()
+            with self.mesh:
+                imgs = jax.device_put(imgs, self.batch_sharding)
+                labels = jax.device_put(labels, self.batch_sharding)
+                self.state, metrics = step_fn(
+                    self.state, imgs, labels,
+                    jax.random.PRNGKey(self.progress_in_iter),
+                )
+            iter_time = time.time() - iter_start
+            self.meter.update(
+                iter_time=iter_time,
+                data_time=data_time,
+                total_loss=float(metrics["total_loss"]),
+                iou_loss=float(metrics["iou_loss"]),
+                conf_loss=float(metrics["conf_loss"]),
+                cls_loss=float(metrics["cls_loss"]),
+                l1_loss=float(metrics["l1_loss"]),
+                num_fg=float(metrics["num_fg"]),
+            )
+
+            if (it + 1) % self.exp.print_interval == 0:
+                self._log_iter(it, tsize)
+                self.meter.clear_meters()
+
+            # multiscale: draw a new size every 10 iters (ref :251-254)
+            if (self.progress_in_iter + 1) % 10 == 0:
+                tsize = self.exp.random_resize()
+
+    def _log_iter(self, it, tsize):
+        left_iters = (
+            self.iters_per_epoch * self.max_epoch
+            - (self.progress_in_iter + 1)
+        )
+        eta_seconds = self.meter["iter_time"].global_avg * left_iters
+        eta_str = f"ETA: {datetime.timedelta(seconds=int(eta_seconds))}"
+        progress_str = (
+            f"epoch: {self.epoch + 1}/{self.max_epoch}, "
+            f"iter: {it + 1}/{self.iters_per_epoch}"
+        )
+        loss_meter = self.meter.get_filtered_meter("loss")
+        loss_str = ", ".join(
+            f"{k}: {v.latest:.1f}" for k, v in loss_meter.items()
+        )
+        time_meter = self.meter.get_filtered_meter("time")
+        time_str = ", ".join(
+            f"{k}: {v.avg:.3f}s" for k, v in time_meter.items()
+        )
+        logger.info(
+            f"{progress_str}, mem: {device_mem_usage():.0f}MB, "
+            f"{time_str}, {loss_str}, size: {tsize[0]}, {eta_str}"
+        )
+        if self.tblogger:
+            for k, v in loss_meter.items():
+                self.tblogger.add_scalar(
+                    f"train/{k}", v.latest, self.progress_in_iter
+                )
+
+    def after_epoch(self):
+        self.save_ckpt(ckpt_name="latest")
+        if (self.epoch + 1) % self.exp.eval_interval == 0:
+            self.evaluate_and_save_model()
+
+    def after_train(self):
+        logger.info(
+            f"Training of experiment is done and the best AP is "
+            f"{self.best_ap * 100:.2f}"
+        )
+        if hasattr(self, "train_loader"):
+            self.train_loader.shutdown()
+
+    @property
+    def progress_in_iter(self):
+        return self.epoch * self.iters_per_epoch + getattr(self, "_it", 0)
+
+    # ------------------------------------------------------------------
+
+    def resume_train(self):
+        args = self.args
+        if getattr(args, "resume", False):
+            logger.info("resume training")
+            ckpt_file = args.ckpt or os.path.join(
+                self.file_name, "latest_ckpt"
+            )
+            payload = load_checkpoint(ckpt_file)
+            merged, _ = load_ckpt_partial(
+                jax.tree.map(np.asarray, self.state), payload["state"]
+            )
+            self.state = jax.tree.map(jnp.asarray, merged)
+            self.start_epoch = (
+                args.start_epoch
+                if getattr(args, "start_epoch", None) is not None
+                else payload.get("metadata", {}).get("start_epoch", 0)
+            )
+            logger.info(f"resumed at epoch {self.start_epoch}")
+        elif getattr(args, "ckpt", None):
+            logger.info("loading checkpoint for fine tuning")
+            payload = load_checkpoint(args.ckpt)
+            host_state = jax.tree.map(np.asarray, self.state)
+            merged, report = load_ckpt_partial(
+                host_state, payload["state"]
+            )
+            self.state = jax.tree.map(jnp.asarray, merged)
+            if report["skipped"]:
+                logger.info(
+                    f"fine-tune: skipped {len(report['skipped'])} "
+                    "mismatched/missing keys"
+                )
+
+    def evaluate_and_save_model(self):
+        if self.evaluator is None:
+            self.save_ckpt(ckpt_name="last_epoch")
+            return
+        eval_vars = {
+            "params": self.state.ema_params
+            if self.use_ema and self.state.ema_params is not None
+            else self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        ap50_95, ap50, summary = self.exp.eval(
+            self.model, eval_vars, self.evaluator
+        )
+        logger.info(f"\n{summary}")
+        if self.tblogger:
+            self.tblogger.add_scalar("val/COCOAP50", ap50, self.epoch + 1)
+            self.tblogger.add_scalar(
+                "val/COCOAP50_95", ap50_95, self.epoch + 1
+            )
+        self.save_ckpt("last_epoch", ap50_95 > self.best_ap)
+        self.best_ap = max(self.best_ap, ap50_95)
+
+    def save_ckpt(self, ckpt_name: str, update_best_ckpt: bool = False):
+        logger.info(f"Save weights to {self.file_name}")
+        save_checkpoint(
+            self.state,
+            update_best_ckpt,
+            self.file_name,
+            ckpt_name,
+            metadata={"start_epoch": self.epoch + 1
+                      if hasattr(self, "epoch") else 0},
+        )

@@ -1,0 +1,191 @@
+"""24-point detector trainer.
+
+Parity target: the minimal single-device trainer in
+`/root/reference/yolox_24p/train_24p.py:22-177`: plain SGD, tqdm epoch
+loop, per-step TensorBoard stream of total/conf/cls losses plus the **24
+per-radius IoU losses and the 26-scaled DWA weights** (`TB_data:115-137`),
+a ``last_epoch`` checkpoint per epoch, and the (unused there) GT-vs-pred
+circle overlay — provided here as `render_train_sample`.
+
+Upgrades over the reference (flagged, defaults preserve its behavior):
+wired ``--resume`` (the reference parses but ignores it, `:193-197`),
+optional EMA, optional LR scheduling, mesh data parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses import Loss24PConfig
+from ..parallel.mesh import batch_sharded, make_mesh, shard_train_step
+from ..utils.logger import logger, setup_logger
+from .checkpoint import load_checkpoint, load_ckpt_partial, save_checkpoint
+from .steps import create_train_state, make_train_step_24p
+
+
+class Trainer24P:
+    def __init__(self, exp, args):
+        self.exp = exp
+        self.args = args
+        self.max_epoch = exp.max_epoch
+        self.input_size = exp.input_size
+        self.start_epoch = 0
+
+        self.file_name = os.path.join(exp.output_dir, exp.exp_name)
+        os.makedirs(self.file_name, exist_ok=True)
+        setup_logger(self.file_name, 0, filename="train_log.txt")
+
+        self.train_loader = exp.get_data_loader(args.batch_size)
+        self.iters_per_epoch = len(self.train_loader)
+
+        self.tblogger = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tblogger = SummaryWriter(
+                os.path.join(self.file_name, "tensorboard")
+            )
+        except ImportError:
+            pass
+
+    def train(self):
+        exp = self.exp
+        args = self.args
+        model = exp.get_model()
+        lr = getattr(args, "lr", None) or exp.basic_lr_per_img * args.batch_size
+        tx = exp.get_optimizer(args.batch_size, lr=lr)
+
+        rng = jax.random.PRNGKey(exp.seed or 0)
+        sample = jnp.zeros(
+            (1, self.input_size[0], self.input_size[1], 3), jnp.float32
+        )
+        state = create_train_state(
+            model, tx, rng, sample, use_ema=exp.ema, with_dwa=True
+        )
+        state = self._maybe_resume(state)
+
+        mesh = make_mesh()
+        sharding = batch_sharded(mesh)
+        steps = {}
+
+        def get_step(use_l1: bool):
+            if use_l1 not in steps:
+                cfg = Loss24PConfig(
+                    num_classes=exp.num_classes,
+                    use_l1=use_l1,
+                    reference_parity=exp.reference_parity,
+                )
+                steps[use_l1] = shard_train_step(
+                    make_train_step_24p(
+                        model, tx, cfg,
+                        ema_decay=exp.ema_decay if exp.ema else None,
+                    ),
+                    mesh,
+                )
+            return steps[use_l1]
+
+        logger.info("24p training start...")
+        global_step = 0
+        for epoch in range(self.start_epoch, self.max_epoch):
+            self.epoch = epoch
+            use_l1 = epoch >= self.max_epoch - exp.L1_epoch
+            step_fn = get_step(use_l1)
+            epoch_start = time.time()
+            it = iter(self.train_loader)
+            for i in range(self.iters_per_epoch):
+                imgs, labels, _, _ = next(it)
+                imgs = jnp.asarray(np.ascontiguousarray(imgs, np.float32))
+                labels = jnp.asarray(
+                    np.ascontiguousarray(labels, np.float32)
+                )
+                with mesh:
+                    imgs = jax.device_put(imgs, sharding)
+                    labels = jax.device_put(labels, sharding)
+                    state, metrics = step_fn(
+                        state, imgs, labels, jax.random.PRNGKey(global_step)
+                    )
+                if (i + 1) % self.exp.print_interval == 0:
+                    logger.info(
+                        f"epoch {epoch + 1}/{self.max_epoch} "
+                        f"iter {i + 1}/{self.iters_per_epoch} "
+                        f"loss {float(metrics['total_loss']):.4f} "
+                        f"conf {float(metrics['conf_loss']):.4f} "
+                        f"cls {float(metrics['cls_loss']):.4f} "
+                        f"fg/gt {float(metrics['num_fg']):.2f}"
+                    )
+                self._tb_data(metrics, global_step)
+                global_step += 1
+            logger.info(
+                f"epoch {epoch + 1} done in {time.time() - epoch_start:.1f}s"
+            )
+            save_checkpoint(
+                state, False, self.file_name, "last_epoch",
+                metadata={"start_epoch": epoch + 1},
+            )
+        self.train_loader.shutdown()
+        return state
+
+    def _maybe_resume(self, state):
+        args = self.args
+        if getattr(args, "resume", False) or getattr(args, "ckpt", None):
+            ckpt_file = getattr(args, "ckpt", None) or os.path.join(
+                self.file_name, "last_epoch_ckpt"
+            )
+            logger.info(f"loading checkpoint {ckpt_file}")
+            payload = load_checkpoint(ckpt_file)
+            host = jax.tree.map(np.asarray, state)
+            merged, report = load_ckpt_partial(host, payload["state"])
+            state = jax.tree.map(jnp.asarray, merged)
+            if getattr(args, "resume", False):
+                self.start_epoch = (
+                    getattr(args, "start_epoch", None)
+                    or payload.get("metadata", {}).get("start_epoch", 0)
+                )
+        return state
+
+    def _tb_data(self, metrics, step: int):
+        """Per-step observability: total/conf/cls + 24 per-radius IoU
+        losses + DWA weights (ref `TB_data:115-137`)."""
+        if self.tblogger is None:
+            return
+        tb = self.tblogger
+        tb.add_scalar("train/total_loss",
+                      float(metrics["total_loss"]), step)
+        tb.add_scalar("train/conf_loss", float(metrics["conf_loss"]), step)
+        tb.add_scalar("train/cls_loss", float(metrics["cls_loss"]), step)
+        iou24 = np.asarray(metrics["iou_losses_24"])
+        reg_w = np.asarray(metrics["dwa_reg_w"])
+        for r in range(24):
+            tb.add_scalar(f"iou_loss/radius_{r:02d}", float(iou24[r]), step)
+            tb.add_scalar(f"dwa_weight/reg_{r:02d}", float(reg_w[r]), step)
+        tb.add_scalar("dwa_weight/obj", float(metrics["dwa_obj_w"]), step)
+        tb.add_scalar("dwa_weight/cls", float(metrics["dwa_cls_w"]), step)
+
+    def render_train_sample(self, image, pred_rows, gt_rows, out_path):
+        """GT-vs-pred circle overlay (ref `show_train_results:156-177`)."""
+        import cv2
+
+        from ..ops.polygon import radii_from_points
+
+        img = np.ascontiguousarray(image).astype(np.uint8)
+        for row in np.asarray(gt_rows):
+            if row.sum() == 0:
+                continue
+            cx, cy = row[1], row[2]
+            radii = np.asarray(
+                radii_from_points(jnp.asarray(row[None, 1:]))
+            )[0]
+            cv2.circle(img, (int(cx), int(cy)), int(radii.mean()),
+                       (0, 255, 0), 1)
+        for row in np.asarray(pred_rows):
+            cx, cy = row[0], row[1]
+            cv2.circle(img, (int(cx), int(cy)),
+                       int(np.mean(row[2:26])), (0, 0, 255), 1)
+        cv2.imwrite(out_path, img)
+        return out_path

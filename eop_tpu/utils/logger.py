@@ -60,6 +60,7 @@ def setup_logger(save_dir=None, distributed_rank: int = 0,
                  redirect: bool = False):
     """Rank-0 file+stderr sinks (ref `setup_logger:63-96`)."""
     logger.setLevel(logging.INFO)
+    logger.propagate = False  # avoid double prints via the root logger
     logger.handlers.clear()
     if distributed_rank == 0:
         sh = logging.StreamHandler(sys.__stderr__)

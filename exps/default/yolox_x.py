@@ -1,0 +1,13 @@
+"""yolox_x scale config (ref exps/default/yolox_x.py)."""
+
+import os
+
+from eop_tpu.exp import Exp as MyExp
+
+
+class Exp(MyExp):
+    def __init__(self):
+        super().__init__()
+        self.depth = 1.33
+        self.width = 1.25
+        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]

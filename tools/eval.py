@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Standalone COCO/VOC AP evaluation from a checkpoint.
+
+Counterpart of the reference's evaluator flow inside the trainer
+(`yolox/core/trainer.py:294-329` -> `COCOEvaluator.evaluate`), exposed as a
+CLI:
+
+    python tools/eval.py -n yolox-s -c <ckpt> -b 64 --data-dir datasets/COCO
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_parser():
+    parser = argparse.ArgumentParser("eop_tpu eval")
+    parser.add_argument("-n", "--name", type=str, default=None)
+    parser.add_argument("-f", "--exp_file", type=str, default=None)
+    parser.add_argument("-c", "--ckpt", type=str, default=None,
+                        help="orbax dir or torch .pth")
+    parser.add_argument("-b", "--batch_size", type=int, default=64)
+    parser.add_argument("--conf", type=float, default=None)
+    parser.add_argument("--nms", type=float, default=None)
+    parser.add_argument("--tsize", type=int, default=None)
+    parser.add_argument("--data-dir", type=str, default=None)
+    parser.add_argument("--testdev", action="store_true")
+    parser.add_argument("--legacy", action="store_true")
+    parser.add_argument("--per-class-ap", action="store_true")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return parser
+
+
+def load_variables(exp, args):
+    import jax
+    import jax.numpy as jnp
+
+    model = exp.get_model()
+    from eop_tpu.models import init_model
+
+    variables = init_model(
+        model,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, exp.test_size[0], exp.test_size[1], 3), jnp.float32),
+    )
+    if args.ckpt:
+        if args.ckpt.endswith(".pth"):
+            from eop_tpu.utils.torch_import import (
+                convert_state_dict,
+                load_torch_checkpoint,
+                merge_into_variables,
+            )
+
+            sd = load_torch_checkpoint(args.ckpt)
+            variables, report = merge_into_variables(
+                variables, convert_state_dict(sd), strict_shapes=False
+            )
+            print(f"loaded {len(report['loaded'])} tensors")
+        else:
+            from eop_tpu.train.checkpoint import (
+                load_checkpoint,
+                load_ckpt_partial,
+            )
+
+            payload = load_checkpoint(args.ckpt)
+            state = payload["state"]
+            params = state.get("ema_params") or state["params"]
+            variables, _ = load_ckpt_partial(
+                jax.tree.map(np.asarray, variables),
+                {"params": params,
+                 "batch_stats": state.get("batch_stats", {})},
+            )
+    return model, variables
+
+
+def main():
+    args = make_parser().parse_args()
+    from eop_tpu.exp import get_exp
+
+    exp = get_exp(args.exp_file, args.name)
+    if args.opts:
+        exp.merge(args.opts)
+    if args.data_dir:
+        exp.data_dir = args.data_dir
+    if args.conf is not None:
+        exp.test_conf = args.conf
+    if args.nms is not None:
+        exp.nmsthre = args.nms
+    if args.tsize is not None:
+        exp.test_size = (args.tsize, args.tsize)
+
+    model, variables = load_variables(exp, args)
+    evaluator = exp.get_evaluator(
+        batch_size=args.batch_size, testdev=args.testdev,
+        legacy=args.legacy,
+    )
+    evaluator.per_class_AP = args.per_class_ap
+    ap50_95, ap50, summary = exp.eval(model, variables, evaluator)
+    print(summary)
+    print(f"AP50:95 = {ap50_95:.4f}  AP50 = {ap50:.4f}")
+
+
+if __name__ == "__main__":
+    main()

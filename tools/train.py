@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Full-trainer entry point (bbox family).
+
+Parity target: the reference's latent launch/Trainer stack
+(`yolox/core/launch.py:39-98`, `yolox/core/trainer.py:33-88`) — here
+first-class and launcher-free: one process drives the whole device mesh
+(`jax.distributed.initialize()` for multi-host slices).
+
+    python tools/train.py -n yolox-s -b 64 --data-dir datasets/COCO
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_parser():
+    parser = argparse.ArgumentParser("eop_tpu train")
+    parser.add_argument("-expn", "--experiment-name", type=str, default=None)
+    parser.add_argument("-n", "--name", type=str, default=None,
+                        help="model name, e.g. yolox-s")
+    parser.add_argument("-f", "--exp_file", type=str, default=None)
+    parser.add_argument("-b", "--batch_size", type=int, default=64)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("-c", "--ckpt", type=str, default=None)
+    parser.add_argument("-e", "--start_epoch", type=int, default=None)
+    parser.add_argument("--cache", action="store_true",
+                        help="cache resized images via np.memmap")
+    parser.add_argument("--data-dir", type=str, default=None)
+    parser.add_argument("--multi-host", action="store_true",
+                        help="call jax.distributed.initialize() first")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=[],
+                        help="exp overrides: key value ...")
+    return parser
+
+
+def main():
+    args = make_parser().parse_args()
+    if args.multi_host:
+        import jax
+
+        jax.distributed.initialize()
+
+    from eop_tpu.exp import get_exp
+    from eop_tpu.train import Trainer
+
+    exp = get_exp(args.exp_file, args.name)
+    if args.opts:
+        exp.merge(args.opts)
+    if args.data_dir:
+        exp.data_dir = args.data_dir
+    if exp.seed is not None:
+        random.seed(exp.seed)
+        warnings.warn(
+            "You have chosen to seed training. This will slow down your "
+            "training considerably!"
+        )
+    args.experiment_name = args.experiment_name or exp.exp_name
+
+    trainer = Trainer(exp, args)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
