@@ -59,7 +59,7 @@ def postprocess_bbox(
     nms_thre: float = 0.45,
     class_agnostic: bool = False,
     max_detections: int = 300,
-    nms_candidates: int = 1000,
+    nms_candidates: int = 512,
 ) -> Detections:
     """Returns rows [B, max_det, 7]: x1, y1, x2, y2, obj, cls_conf, cls."""
 
@@ -97,7 +97,7 @@ def postprocess_24p(
     nms_thre: float = 0.3,
     class_agnostic: bool = False,
     max_detections: int = 300,
-    nms_candidates: int = 1000,
+    nms_candidates: int = 512,
     reference_parity: bool = False,
 ) -> Detections:
     """Returns rows [B, max_det, 29]: x, y, r1..r24, obj, cls_conf, cls."""

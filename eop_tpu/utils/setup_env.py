@@ -1,0 +1,47 @@
+"""Process/environment configuration.
+
+Parity target: `/root/reference/yolox/utils/setup_env.py` —
+``configure_nccl`` (InfiniBand env tuning: N/A on TPU, ICI needs no
+configuration), ``configure_omp``, and ``configure_module`` (ulimit raise +
+cv2 thread/OpenCL clamping so dataloader workers don't oversubscribe).
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["configure_omp", "configure_module", "configure_tpu"]
+
+
+def configure_omp(num_threads: int = 1):
+    """Default OMP_NUM_THREADS to 1 unless the user chose otherwise
+    (ref `configure_omp:28-48`)."""
+    if "OMP_NUM_THREADS" not in os.environ and num_threads == 1:
+        os.environ["OMP_NUM_THREADS"] = str(num_threads)
+
+
+def configure_module(ulimit_value: int = 8192):
+    """Raise the open-file limit and clamp cv2 threading
+    (ref `configure_module:51-77`)."""
+    try:
+        import resource
+
+        rlimit = resource.getrlimit(resource.RLIMIT_NOFILE)
+        resource.setrlimit(
+            resource.RLIMIT_NOFILE, (ulimit_value, rlimit[1])
+        )
+    except Exception:
+        pass
+    try:
+        import cv2
+
+        cv2.setNumThreads(0)
+        cv2.ocl.setUseOpenCL(False)
+    except Exception:
+        pass
+
+
+def configure_tpu():
+    """TPU-runtime knobs (the `configure_nccl` slot): nothing to tune for
+    ICI; kept as the hook where XLA flags would go."""
+    return None
