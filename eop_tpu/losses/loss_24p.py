@@ -52,6 +52,11 @@ class Loss24PConfig(NamedTuple):
     use_l1: bool = False
     dwa_temperature: float = 20.0
     reference_parity: bool = False  # replicate the GIoU-as-IoU SimOTA stat
+    # Route the SimOTA geometry (circle GIoU + point-in-polygon + centre
+    # test) through the fused Pallas kernel.  Off by default: XLA's fusion
+    # of the jnp formulation measures faster on v5e (see
+    # ops/pallas/simota24p.py); the kernel stays available and tested.
+    use_pallas: bool = False
     simota: SimOTAConfig = SimOTAConfig()
 
 
@@ -97,27 +102,43 @@ def simota_assign_24p(
     x_c = (grids[:, 0] + 0.5) * strides
     y_c = (grids[:, 1] + 0.5) * strides
 
-    in_poly = pts_in_poly_from_labels(labels_xy, x_c, y_c) & gt_valid[:, None]
+    gt_centers = labels_xy[:, 0:2]
+    gt_radii = radii_from_points(labels_xy)
 
-    r = config.simota.center_radius * strides
-    cx, cy = labels_xy[:, 0], labels_xy[:, 1]
-    in_centers = (
-        (x_c[None, :] > cx[:, None] - r[None, :])
-        & (x_c[None, :] < cx[:, None] + r[None, :])
-        & (y_c[None, :] > cy[:, None] - r[None, :])
-        & (y_c[None, :] < cy[:, None] + r[None, :])
-        & gt_valid[:, None]
-    )
+    if config.use_pallas:
+        from ..ops.pallas import simota_geometry_24p
+
+        pair_loss, in_poly, in_centers = simota_geometry_24p(
+            gt_centers, gt_radii, labels_xy[:, 2::2], labels_xy[:, 3::2],
+            poly_preds, x_c, y_c, strides,
+            center_radius=config.simota.center_radius,
+        )
+        in_poly = in_poly & gt_valid[:, None]
+        in_centers = in_centers & gt_valid[:, None]
+        pair_sim = (
+            pair_loss if config.reference_parity else 1.0 - pair_loss
+        )
+    else:
+        in_poly = (
+            pts_in_poly_from_labels(labels_xy, x_c, y_c)
+            & gt_valid[:, None]
+        )
+        r = config.simota.center_radius * strides
+        cx, cy = labels_xy[:, 0], labels_xy[:, 1]
+        in_centers = (
+            (x_c[None, :] > cx[:, None] - r[None, :])
+            & (x_c[None, :] < cx[:, None] + r[None, :])
+            & (y_c[None, :] > cy[:, None] - r[None, :])
+            & (y_c[None, :] < cy[:, None] + r[None, :])
+            & gt_valid[:, None]
+        )
+        pair_sim = pairwise_circle_similarity(
+            gt_centers, gt_radii, poly_preds[:, 0:2], poly_preds[:, 2:26],
+            reference_parity=config.reference_parity,
+        )
 
     fg_candidate = jnp.any(in_poly, axis=0) | jnp.any(in_centers, axis=0)
     in_both = in_poly & in_centers
-
-    gt_centers = labels_xy[:, 0:2]
-    gt_radii = radii_from_points(labels_xy)
-    pair_sim = pairwise_circle_similarity(
-        gt_centers, gt_radii, poly_preds[:, 0:2], poly_preds[:, 2:26],
-        reference_parity=config.reference_parity,
-    )
     pair_sim = jnp.where(gt_valid[:, None], pair_sim, 0.0)
     sim_cost = -jnp.log(pair_sim + 1e-8)
 
@@ -169,11 +190,16 @@ def loss_24p(
     labels_xy = labels[..., 1:]
     gt_classes = labels[..., 0]
 
-    assign: Assignment = jax.vmap(
-        lambda lxy, gc, gv, pp, ol, cl: simota_assign_24p(
-            lxy, gc, gv, pp, ol, cl, grids, strides, config
-        )
-    )(labels_xy, gt_classes, gt_valid, poly_preds, obj_logits, cls_logits)
+    # Assignment runs without gradients (ref `get_assignments` is
+    # @torch.no_grad, losses.py:359).
+    assign: Assignment = jax.lax.stop_gradient(
+        jax.vmap(
+            lambda lxy, gc, gv, pp, ol, cl: simota_assign_24p(
+                lxy, gc, gv, pp, ol, cl, grids, strides, config
+            )
+        )(labels_xy, gt_classes, gt_valid, poly_preds, obj_logits,
+          cls_logits)
+    )
 
     fg = assign.fg_mask
     fgf = fg.astype(jnp.float32)

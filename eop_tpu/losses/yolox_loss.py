@@ -60,11 +60,16 @@ def yolox_losses(
     obj_logits = decoded[..., 4]
     cls_logits = decoded[..., 5:]
 
-    assign: Assignment = jax.vmap(
-        lambda lab, bp, ol, cl: simota_assign(
-            lab, bp, ol, cl, grids, strides, c, config.simota
-        )
-    )(labels.astype(jnp.float32), bbox_preds, obj_logits, cls_logits)
+    # Label assignment is not differentiated (the reference runs it under
+    # torch.no_grad(), `yolo_head.py:424`); stop_gradient also keeps the
+    # top-k/scatter machinery out of the backward graph.
+    assign: Assignment = jax.lax.stop_gradient(
+        jax.vmap(
+            lambda lab, bp, ol, cl: simota_assign(
+                lab, bp, ol, cl, grids, strides, c, config.simota
+            )
+        )(labels.astype(jnp.float32), bbox_preds, obj_logits, cls_logits)
+    )
 
     fg = assign.fg_mask                       # [B, A] bool
     fgf = fg.astype(jnp.float32)
