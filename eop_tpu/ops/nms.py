@@ -29,7 +29,8 @@ from .boxes import bboxes_iou
 FIXPOINT_ITERS = 16
 
 
-def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float):
+def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
+              same_class: jnp.ndarray | None = None):
     """Greedy NMS over boxes already sorted by descending score, computed
     as an iterate-to-fixpoint matrix recurrence instead of a K-step serial
     sweep.
@@ -52,6 +53,8 @@ def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float):
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     overlap = (iou > iou_threshold) & (row < col)  # i suppresses j only if i<j
+    if same_class is not None:
+        overlap &= same_class
 
     # Fixed iteration budget: convergence needs (suppression chain depth)
     # iterations; measured depth on dense worst-case data (1000 random
@@ -105,9 +108,24 @@ def batched_class_nms(
     score_threshold: float = 0.0,
     max_candidates: int | None = None,
 ):
-    """Per-class NMS via the coordinate-offset trick
-    (torchvision `batched_nms` semantics, ref `boxes.py:60-65`)."""
-    max_coord = jnp.max(jnp.abs(boxes)) + 1.0
-    offsets = class_ids.astype(boxes.dtype)[:, None] * max_coord
-    shifted = boxes + offsets
-    return nms(shifted, scores, iou_threshold, score_threshold, max_candidates)
+    """Per-class NMS (torchvision `batched_nms` semantics, ref
+    `boxes.py:60-65`): boxes of different classes never suppress each
+    other.
+
+    Implemented as a same-class mask on the suppression matrix rather than
+    torchvision's coordinate-offset trick: with exp-decoded boxes a single
+    degenerate prediction can make ``max(|boxes|)`` so large that
+    ``boxes + class_id * max_coord`` collapses every box of a class onto
+    one f32 value (zero-area, IoU 0) and NMS silently stops suppressing.
+    The mask costs one extra [K, K] compare and is exact for any inputs.
+    """
+    n = boxes.shape[0]
+    k = n if max_candidates is None else min(max_candidates, n)
+    top_scores, order = jax.lax.top_k(scores, k)
+    cand = boxes[order]
+    cand_cls = class_ids[order]
+    valid = top_scores > score_threshold
+    iou = bboxes_iou(cand, cand, xyxy=True)
+    same_class = cand_cls[:, None] == cand_cls[None, :]
+    keep = _suppress(iou, valid, iou_threshold, same_class)
+    return keep, order

@@ -136,3 +136,24 @@ def test_radii_roundtrip():
     )
     np.testing.assert_allclose(pts[..., 0], rows[:, 2::2], rtol=1e-5, atol=1e-3)
     np.testing.assert_allclose(pts[..., 1], rows[:, 3::2], rtol=1e-5, atol=1e-3)
+
+
+def test_batched_class_nms_degenerate_coordinates():
+    """A huge outlier box must not disable suppression (the torchvision
+    coordinate-offset trick loses all f32 precision here)."""
+    boxes = np.array(
+        [
+            [136.0, 123.0, 224.0, 212.0],
+            [137.0, 122.0, 225.0, 211.0],
+            [0.0, 0.0, 3e8, 3e8],  # exp-decode blowup from a dead anchor
+        ],
+        np.float32,
+    )
+    scores = np.asarray([0.9, 0.89, 0.01], np.float32)
+    cls = np.asarray([7, 7, 7], np.int32)
+    keep, order = batched_class_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cls),
+        0.3, 0.1,
+    )
+    kept = np.asarray(order)[np.asarray(keep)]
+    assert kept.tolist() == [0], kept
