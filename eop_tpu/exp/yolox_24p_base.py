@@ -194,6 +194,8 @@ class Exp24P(BaseExp):
             from ..eval.postprocess import postprocess_24p
             from ..models import inference_outputs
 
+            # accept uint8 inputs: transfer 4x less and cast on device
+            imgs = imgs.astype(jax.numpy.float32)
             head_outs, _ = model.apply(variables, imgs, False)
             decoded = inference_outputs(head_outs, reg_dim=26)
             return postprocess_24p(

@@ -285,6 +285,8 @@ class Exp(BaseExp):
             from ..eval.postprocess import postprocess_bbox
             from ..models import inference_outputs
 
+            # accept uint8 inputs: transfer 4x less and cast on device
+            imgs = imgs.astype(jax.numpy.float32)
             head_outs, _ = model.apply(variables, imgs, False)
             decoded = inference_outputs(head_outs)
             return postprocess_bbox(
