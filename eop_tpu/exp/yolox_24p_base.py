@@ -63,6 +63,8 @@ class Exp24P(BaseExp):
         self.reference_parity = False  # replicate θ·cosθ NMS + GIoU-as-IoU
 
         self.compute_dtype = "float32"
+        # gradient checkpointing of the conv trunk (memory for ~15% time)
+        self.remat = False
 
     # ------------------------------------------------------------------
 
@@ -82,6 +84,7 @@ class Exp24P(BaseExp):
                 act=self.act,
                 reg_dim=26,
                 dtype=dtype,
+                remat=self.remat,
             )
         return self.model
 

@@ -78,6 +78,8 @@ class Exp(BaseExp):
 
         # compute dtype for the conv trunk ("bfloat16" for TPU speed)
         self.compute_dtype = "float32"
+        # gradient checkpointing of the conv trunk (memory for ~15% time)
+        self.remat = False
 
     # ------------------------------------------------------------------
 
@@ -98,6 +100,7 @@ class Exp(BaseExp):
                 act=self.act,
                 depthwise=self.depthwise,
                 dtype=dtype,
+                remat=self.remat,
             )
         return self.model
 

@@ -44,10 +44,19 @@ class YOLOX(nn.Module):
     in_channels: Sequence[int] = (256, 512, 1024)
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    # Gradient checkpointing of the backbone+neck: trades ~30% step time
+    # for activation memory (jax.checkpoint / nn.remat) — enables larger
+    # per-chip batches at 640px.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        fpn_outs = YOLOPAFPN(
+        Backbone = (
+            nn.remat(YOLOPAFPN, static_argnums=(2,))
+            if self.remat
+            else YOLOPAFPN
+        )
+        fpn_outs = Backbone(
             backbone_type=self.backbone_type,
             depth=self.depth,
             width=self.width,
