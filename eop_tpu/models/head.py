@@ -135,7 +135,10 @@ def decode_outputs(
     """
     s = strides[None, :, None]
     xy = (flat[..., :2] + grids[None]) * s
-    sizes = jnp.exp(flat[..., 2:reg_dim]) * s
+    # exp clamp: raw logits can spike early in training; exp(>88) is inf in
+    # f32 and its square NaNs the circle/box losses.  ±30 cannot alter any
+    # legitimate box (log(640/8) ≈ 4.4) but keeps exp and exp² finite.
+    sizes = jnp.exp(jnp.clip(flat[..., 2:reg_dim], -30.0, 30.0)) * s
     rest = flat[..., reg_dim:]
     if apply_sigmoid:
         rest = jax.nn.sigmoid(rest)

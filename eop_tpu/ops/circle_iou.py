@@ -94,9 +94,15 @@ def matched_circle_giou_loss(gt_centers, gt_radii, pd_centers, pd_radii):
     Args:
       gt_centers, pd_centers: [N, 2]; gt_radii, pd_radii: [N, 24].
     Returns: [N, 24] loss (ref `IOUloss.forward` return, `losses.py:151-157`).
+
+    This path is differentiated: sqrt needs an epsilon under it or its
+    gradient blows up to inf the moment a predicted centre lands exactly
+    on the GT centre (observed as NaNs late in overfit training; the torch
+    reference has the same hazard).
     """
     dist = jnp.sqrt(
         jnp.sum((gt_centers - pd_centers) ** 2, axis=-1, keepdims=True)
+        + 1e-9
     )
     giou = circle_giou_24(dist, gt_radii, pd_radii)
     return 1.0 - giou

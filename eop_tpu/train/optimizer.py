@@ -34,9 +34,14 @@ def build_sgd(
     momentum: float = 0.9,
     weight_decay: float = 0.0,
     nesterov: bool = True,
+    clip_grad_norm: float = 0.0,
 ) -> optax.GradientTransformation:
-    """SGD + (masked) weight decay; LR may be an iteration schedule."""
+    """SGD + (masked) weight decay; LR may be an iteration schedule.
+    ``clip_grad_norm > 0`` adds global-norm gradient clipping (a stability
+    option the reference lacks; off by default for parity)."""
     txs = []
+    if clip_grad_norm and clip_grad_norm > 0:
+        txs.append(optax.clip_by_global_norm(clip_grad_norm))
     if weight_decay > 0:
         # torch SGD couples wd into the gradient *before* momentum; optax
         # add_decayed_weights before trace reproduces that.

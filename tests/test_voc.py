@@ -1,0 +1,107 @@
+"""VOC dataset + evaluator: oracle detections must give mAP50 = 1."""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from eop_tpu.data.augment import ValTransform
+from eop_tpu.data.dataloading import DataLoader
+from eop_tpu.data.voc import VOCDetection
+from eop_tpu.data.voc_classes import VOC_CLASSES
+from eop_tpu.eval import Detections
+from eop_tpu.eval.voc_evaluator import VOCEvaluator
+
+
+def _write_voc(root, n_images=4, seed=0):
+    rng = np.random.RandomState(seed)
+    year_dir = os.path.join(root, "VOC2007")
+    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        os.makedirs(os.path.join(year_dir, sub), exist_ok=True)
+    names = []
+    gt = {}
+    for i in range(n_images):
+        name = f"{i:06d}"
+        names.append(name)
+        h, w = 120, 160
+        cv2.imwrite(
+            os.path.join(year_dir, "JPEGImages", name + ".jpg"),
+            rng.randint(0, 255, (h, w, 3), dtype=np.uint8),
+        )
+        ann = ET.Element("annotation")
+        size = ET.SubElement(ann, "size")
+        ET.SubElement(size, "width").text = str(w)
+        ET.SubElement(size, "height").text = str(h)
+        ET.SubElement(size, "depth").text = "3"
+        boxes = []
+        for _ in range(2):
+            bw, bh = int(rng.randint(20, 50)), int(rng.randint(20, 50))
+            x = int(rng.randint(1, w - bw))
+            y = int(rng.randint(1, h - bh))
+            cls = rng.choice(["cat", "dog"])
+            obj = ET.SubElement(ann, "object")
+            ET.SubElement(obj, "name").text = cls
+            ET.SubElement(obj, "pose").text = "Unspecified"
+            ET.SubElement(obj, "truncated").text = "0"
+            ET.SubElement(obj, "difficult").text = "0"
+            bb = ET.SubElement(obj, "bndbox")
+            ET.SubElement(bb, "xmin").text = str(x)
+            ET.SubElement(bb, "ymin").text = str(y)
+            ET.SubElement(bb, "xmax").text = str(x + bw)
+            ET.SubElement(bb, "ymax").text = str(y + bh)
+            boxes.append((x, y, x + bw, y + bh, cls))
+        gt[name] = boxes
+        ET.ElementTree(ann).write(
+            os.path.join(year_dir, "Annotations", name + ".xml")
+        )
+    with open(
+        os.path.join(year_dir, "ImageSets", "Main", "test.txt"), "w"
+    ) as f:
+        f.write("\n".join(names) + "\n")
+    return gt
+
+
+def test_voc_evaluator_oracle(tmp_path):
+    root = str(tmp_path)
+    _write_voc(root)
+    img_size = (128, 128)
+    ds = VOCDetection(
+        data_dir=root, image_sets=[("2007", "test")], img_size=img_size,
+        preproc=ValTransform(),
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=0)
+    evaluator = VOCEvaluator(loader, img_size, 0.01, 0.65,
+                             num_classes=len(VOC_CLASSES))
+
+    max_det = 10
+
+    class Oracle:
+        def __init__(self):
+            self.idx = 0
+
+        def __call__(self, imgs):
+            b = imgs.shape[0]
+            rows = np.zeros((b, max_det, 7), np.float32)
+            valid = np.zeros((b, max_det), bool)
+            for i in range(b):
+                anno = ds.annotations[self.idx][0]  # pre-scaled xyxy+cls
+                n = min(len(anno), max_det)
+                rows[i, :n, 0:4] = anno[:n, 0:4]
+                rows[i, :n, 4] = 0.9
+                rows[i, :n, 5] = 1.0
+                rows[i, :n, 6] = anno[:n, 4]
+                valid[i, :n] = True
+                self.idx += 1
+            return Detections(rows=jnp.asarray(rows),
+                              valid=jnp.asarray(valid))
+
+    map5095, map50, summary = evaluator.evaluate(Oracle())
+    # the reference's _do_python_eval averages over all 20 classes, so a
+    # 2-class synthetic set tops out at 2/20 (cat + dog at AP 1.0 each)
+    assert map50 == pytest.approx(2 / 20, abs=1e-6)
+    assert map5095 > 0.08

@@ -35,6 +35,8 @@ def make_parser():
     parser.add_argument("--nms", type=float, default=None)
     parser.add_argument("--reference-parity", action="store_true",
                         help="replicate the reference's θ·cosθ NMS quirk")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=[],
+                        help="exp overrides: key value ...")
     return parser
 
 
@@ -138,6 +140,8 @@ def main():
     from eop_tpu.exp import get_exp
 
     exp = get_exp(args.exp_file)
+    if args.opts:
+        exp.merge(args.opts)
     Evaluator(exp, args).eval()
 
 
