@@ -206,11 +206,19 @@ def loss_24p(
     num_fg = jnp.maximum(jnp.sum(assign.num_fg), 1.0)
     num_gts = jnp.maximum(jnp.sum(assign.num_gt), 1.0)
 
-    matched = assign.matched_gt
-    # Gather matched GT rows [B, A, 50]
-    gt_rows = jnp.take_along_axis(
-        labels_xy, matched[..., None], axis=1
-    )
+    # Foreground compaction: SimOTA selects at most max_labels*max_k
+    # anchors per image, so the matched losses (24-ray circle GIoU, cls
+    # BCE, L1) run on a static [B, K_fg] gather instead of all A anchors —
+    # ~17x less work at A=8400, bitwise-identical sums (zero weights pad).
+    a = fgf.shape[1]
+    k_fg = min(a, labels.shape[1] * config.simota.max_k)
+    w_fg, fg_idx = jax.lax.top_k(fgf, k_fg)          # [B, K], [B, K]
+    matched = jnp.take_along_axis(assign.matched_gt, fg_idx, axis=1)
+    pred_iou_k = jnp.take_along_axis(assign.pred_iou, fg_idx, axis=1)
+    poly_k = jnp.take_along_axis(
+        poly_preds, fg_idx[..., None], axis=1
+    )                                                 # [B, K, 26]
+    gt_rows = jnp.take_along_axis(labels_xy, matched[..., None], axis=1)
     gt_cls = jnp.take_along_axis(gt_classes, matched, axis=1)
 
     # --- per-ray circle-GIoU loss ("24 small tasks") ---
@@ -219,29 +227,38 @@ def loss_24p(
     per_ray = matched_circle_giou_loss(
         gt_centers.reshape(-1, 2),
         gt_radii.reshape(-1, 24),
-        poly_preds[..., 0:2].reshape(-1, 2),
-        poly_preds[..., 2:26].reshape(-1, 24),
-    ).reshape(fg.shape + (24,))
-    loss_iou = jnp.sum(per_ray * fgf[..., None], axis=(0, 1)) / num_fg  # [24]
+        poly_k[..., 0:2].reshape(-1, 2),
+        poly_k[..., 2:26].reshape(-1, 24),
+    ).reshape(w_fg.shape + (24,))
+    loss_iou = jnp.sum(per_ray * w_fg[..., None], axis=(0, 1)) / num_fg
 
     loss_obj = jnp.sum(bce_with_logits(obj_logits, fgf)) / num_fg
+    cls_logits_k = jnp.take_along_axis(cls_logits, fg_idx[..., None], axis=1)
     cls_target = (
         jax.nn.one_hot(gt_cls.astype(jnp.int32), config.num_classes)
-        * assign.pred_iou[..., None]
+        * pred_iou_k[..., None]
     )
     loss_cls = jnp.sum(
-        bce_with_logits(cls_logits, cls_target) * fgf[..., None]
+        bce_with_logits(cls_logits_k, cls_target) * w_fg[..., None]
     ) / num_fg
 
     if config.use_l1:
-        tx = gt_centers[..., 0] / strides[None] - grids[None, :, 0]
-        ty = gt_centers[..., 1] / strides[None] - grids[None, :, 1]
-        tr = jnp.log(gt_radii / strides[None, :, None] + 1e-8)
-        l1_t = jnp.concatenate(
-            [tx[..., None], ty[..., None], tr], axis=-1
+        grids_k = jnp.take_along_axis(
+            jnp.broadcast_to(grids[None], (fgf.shape[0],) + grids.shape),
+            fg_idx[..., None], axis=1,
         )
+        strides_k = jnp.take_along_axis(
+            jnp.broadcast_to(strides[None], fgf.shape), fg_idx, axis=1
+        )
+        origin_k = jnp.take_along_axis(
+            origin_reg.astype(jnp.float32), fg_idx[..., None], axis=1
+        )
+        tx = gt_centers[..., 0] / strides_k - grids_k[..., 0]
+        ty = gt_centers[..., 1] / strides_k - grids_k[..., 1]
+        tr = jnp.log(gt_radii / strides_k[..., None] + 1e-8)
+        l1_t = jnp.concatenate([tx[..., None], ty[..., None], tr], axis=-1)
         loss_l1 = jnp.sum(
-            jnp.abs(origin_reg.astype(jnp.float32) - l1_t) * fgf[..., None]
+            jnp.abs(origin_k - l1_t) * w_fg[..., None]
         ) / num_fg
     else:
         loss_l1 = jnp.zeros(())

@@ -76,30 +76,48 @@ def yolox_losses(
     num_fg = jnp.maximum(jnp.sum(assign.num_fg), 1.0)
     num_gts = jnp.maximum(jnp.sum(assign.num_gt), 1.0)
 
-    # Gather per-anchor targets from the padded GT lattice.
-    matched = assign.matched_gt               # [B, A]
+    # Foreground compaction: at most max_labels*max_k anchors match, so
+    # the matched losses run on a static [B, K_fg] gather instead of all
+    # A anchors (identical sums; zero weights pad).
+    a = fgf.shape[1]
+    k_fg = min(a, labels.shape[1] * config.simota.max_k)
+    w_fg, fg_idx = jax.lax.top_k(fgf, k_fg)
+    matched = jnp.take_along_axis(assign.matched_gt, fg_idx, axis=1)
+    pred_iou_k = jnp.take_along_axis(assign.pred_iou, fg_idx, axis=1)
+    bbox_k = jnp.take_along_axis(bbox_preds, fg_idx[..., None], axis=1)
+    cls_logits_k = jnp.take_along_axis(
+        cls_logits, fg_idx[..., None], axis=1
+    )
     gt_boxes = jnp.take_along_axis(
         labels[..., 1:5], matched[..., None], axis=1
-    )                                          # [B, A, 4]
-    gt_cls = jnp.take_along_axis(labels[..., 0], matched, axis=1)  # [B, A]
+    )                                          # [B, K, 4]
+    gt_cls = jnp.take_along_axis(labels[..., 0], matched, axis=1)
 
     cls_target = (
         jax.nn.one_hot(gt_cls.astype(jnp.int32), c)
-        * assign.pred_iou[..., None]
+        * pred_iou_k[..., None]
     )
 
-    loss_iou = jnp.sum(
-        iou_loss(bbox_preds, gt_boxes) * fgf
-    ) / num_fg
+    loss_iou = jnp.sum(iou_loss(bbox_k, gt_boxes) * w_fg) / num_fg
     loss_obj = jnp.sum(bce_with_logits(obj_logits, fgf)) / num_fg
     loss_cls = jnp.sum(
-        bce_with_logits(cls_logits, cls_target) * fgf[..., None]
+        bce_with_logits(cls_logits_k, cls_target) * w_fg[..., None]
     ) / num_fg
 
     if config.use_l1:
-        l1_t = _l1_target(gt_boxes, grids[None], strides[None])
+        grids_k = jnp.take_along_axis(
+            jnp.broadcast_to(grids[None], (fgf.shape[0],) + grids.shape),
+            fg_idx[..., None], axis=1,
+        )
+        strides_k = jnp.take_along_axis(
+            jnp.broadcast_to(strides[None], fgf.shape), fg_idx, axis=1
+        )
+        origin_k = jnp.take_along_axis(
+            origin_reg.astype(jnp.float32), fg_idx[..., None], axis=1
+        )
+        l1_t = _l1_target(gt_boxes, grids_k, strides_k)
         loss_l1 = jnp.sum(
-            jnp.abs(origin_reg.astype(jnp.float32) - l1_t) * fgf[..., None]
+            jnp.abs(origin_k - l1_t) * w_fg[..., None]
         ) / num_fg
     else:
         loss_l1 = jnp.zeros(())
