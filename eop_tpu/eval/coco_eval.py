@@ -188,9 +188,16 @@ class COCOeval:
 
         gt_ids = np.asarray([g["id"] for g in gt], np.int64)
         dt_ids = np.asarray([d["id"] for d in dt], np.int64)
-        # index+1 -> original annotation ids (0 stays unmatched)
-        dtm = np.where(dtm_idx > 0, gt_ids[dtm_idx - 1], 0)
-        gtm = np.where(gtm_idx > 0, dt_ids[gtm_idx - 1], 0)
+        # index+1 -> original annotation ids (0 stays unmatched); np.where
+        # evaluates both branches, so guard the empty-side lookups
+        dtm = (
+            np.where(dtm_idx > 0, gt_ids[dtm_idx - 1], 0)
+            if G else np.zeros_like(dtm_idx)
+        )
+        gtm = (
+            np.where(gtm_idx > 0, dt_ids[gtm_idx - 1], 0)
+            if D else np.zeros_like(gtm_idx)
+        )
 
         return {
             "image_id": imgId,

@@ -176,6 +176,33 @@ class Exp24P(BaseExp):
         size = random.randint(*self.random_size)
         return (int(32 * size), int(32 * size))
 
+    def get_eval_loader(self, batch_size):
+        from ..data.coco24p import COCO24PDataset, TrainTransform24P
+        from ..data.dataloading import DataLoader
+
+        dataset = COCO24PDataset(
+            data_dir=self.data_dir,
+            label_dir=self.label_dir,
+            img_size=self.test_size,
+            preproc=TrainTransform24P(max_labels=50),
+        )
+        return DataLoader(dataset, batch_size=batch_size, shuffle=False,
+                          num_workers=self.data_num_workers)
+
+    def get_evaluator(self, batch_size, is_distributed=False):
+        """COCO-style AP over the polygon enclosing boxes — the evaluator
+        the reference left commented out (`yolox_24p/exp/base_exp.py:50-57`),
+        implemented (see eval/evaluator_24p.py)."""
+        from ..eval.evaluator_24p import Evaluator24P
+
+        return Evaluator24P(
+            dataloader=self.get_eval_loader(batch_size),
+            img_size=self.test_size,
+            confthre=self.test_conf,
+            nmsthre=self.nmsthre,
+            num_classes=self.num_classes,
+        )
+
     def get_data_input(self, img_path: str):
         """Letterbox a single image for inference
         (ref `load_eval/yolox_24p_eval.py:21-38`)."""

@@ -135,3 +135,29 @@ def test_area_ranges():
     assert stats[3] == pytest.approx(1.0)   # small
     assert stats[5] == pytest.approx(1.0)   # large
     assert stats[4] == -1.0                 # medium: no gts
+
+
+def test_no_detections_at_all():
+    """GTs present, zero detections: AP must be 0 (not crash — np.where
+    eagerly indexed the empty dt-ids array)."""
+    gt = _make_gt({1: [(10, 10, 50, 50, 1)]})
+    dt = gt.loadRes([])
+    e = COCOeval(gt, dt, "bbox")
+    e.evaluate()
+    e.accumulate()
+    e.summarize()
+    assert e.stats[0] == pytest.approx(0.0)
+
+
+def test_detections_for_empty_image():
+    """Detections on an image with no GT of that category count as FPs."""
+    gt = _make_gt({1: [(10, 10, 50, 50, 1)], 2: []})
+    dets = [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 50, 50],
+         "score": 0.9},
+        {"image_id": 2, "category_id": 1, "bbox": [5, 5, 20, 20],
+         "score": 0.95},
+    ]
+    stats = _eval(gt, dets)
+    # FP at higher score halves the precision envelope at recall 1
+    assert 0.4 < stats[1] < 0.6

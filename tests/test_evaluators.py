@@ -92,3 +92,71 @@ def test_coco_evaluator_oracle(coco_val_dir):
     assert ap50 == pytest.approx(1.0, abs=1e-6), summary
     assert ap5095 == pytest.approx(1.0, abs=1e-2), summary
     assert "per class AP" in summary
+
+
+def test_evaluator_24p_oracle(tmp_path):
+    """24p evaluator: oracle polygon detections -> AP50 = 1."""
+    import jax.numpy as jnp
+    from eop_tpu.data.coco24p import COCO24PDataset, TrainTransform24P
+    from eop_tpu.data.dataloading import DataLoader as L24
+    from eop_tpu.eval.evaluator_24p import Evaluator24P
+    from eop_tpu.ops.polygon import ANGLES
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "imgs"
+    lab_dir = tmp_path / "labels"
+    img_dir.mkdir(); lab_dir.mkdir()
+    for img_id in range(1, 4):
+        h, w = 120, 160
+        cv2.imwrite(str(img_dir / f"{img_id:012}.jpg"),
+                    rng.randint(0, 255, (h, w, 3), dtype=np.uint8))
+        rows = []
+        for _ in range(2):
+            cx, cy = rng.uniform(40, 110), rng.uniform(35, 85)
+            r = rng.uniform(8, 20, 24)
+            pts_x = (cx + r * np.cos(ANGLES)) / w
+            pts_y = (cy + r * np.sin(ANGLES)) / h
+            row = [rng.randint(0, 3), cx / w, cy / h]
+            for px, py in zip(pts_x, pts_y):
+                row += [px, py]
+            rows.append(" ".join(f"{v:.6f}" for v in row))
+        (lab_dir / f"{img_id:012}.txt").write_text("\n".join(rows) + "\n")
+
+    ds = COCO24PDataset(str(img_dir), str(lab_dir), img_size=(128, 128),
+                        preproc=TrainTransform24P(max_labels=50))
+    loader = L24(ds, batch_size=2, shuffle=False, num_workers=0)
+    ev = Evaluator24P(loader, (128, 128), 0.01, 0.3, num_classes=3)
+
+    max_det = 10
+
+    class Oracle:
+        def __init__(self):
+            self.idx = 0
+
+        def __call__(self, imgs):
+            b = imgs.shape[0]
+            rows = np.zeros((b, max_det, 29), np.float32)
+            valid = np.zeros((b, max_det), bool)
+            for i in range(b):
+                # the transform outputs labels in the letterboxed frame
+                _, target, _, _ = ds[self.idx]
+                n = 0
+                for row in target:
+                    if row.sum() == 0:
+                        continue
+                    cx, cy = row[1], row[2]
+                    radii = np.sqrt((row[3::2] - cx) ** 2
+                                    + (row[4::2] - cy) ** 2)
+                    rows[i, n, 0:2] = (cx, cy)
+                    rows[i, n, 2:26] = radii
+                    rows[i, n, 26] = 0.9
+                    rows[i, n, 27] = 1.0
+                    rows[i, n, 28] = row[0]
+                    valid[i, n] = True
+                    n += 1
+                self.idx += 1
+            return Detections(rows=jnp.asarray(rows),
+                              valid=jnp.asarray(valid))
+
+    ap5095, ap50, summary = ev.evaluate(Oracle())
+    assert ap50 == pytest.approx(1.0, abs=1e-6), summary
