@@ -9,5 +9,6 @@ from .coco_evaluator import (
     per_class_AP_table,
     per_class_AR_table,
 )
+from .evaluator_24p import Evaluator24P
 from .voc_eval import voc_eval
 from .voc_evaluator import VOCEvaluator

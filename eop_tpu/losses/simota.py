@@ -107,11 +107,13 @@ def pairwise_cls_cost(cls_logits, obj_logits, gt_classes, num_classes):
         jax.nn.sigmoid(cls_logits.astype(jnp.float32))
         * jax.nn.sigmoid(obj_logits.astype(jnp.float32))[:, None]
     )
-    p = jnp.sqrt(jnp.clip(p, 1e-12, 1.0))  # [A, C]
+    p = jnp.sqrt(p)  # [A, C]
     onehot = jax.nn.one_hot(gt_classes.astype(jnp.int32), num_classes)  # [M, C]
-    # BCE(p, t) with probabilities: -t·log p - (1-t)·log(1-p)
-    log_p = jnp.log(p)
-    log_1p = jnp.log(jnp.clip(1.0 - p, 1e-12, 1.0))
+    # BCE(p, t) with probabilities: -t·log p - (1-t)·log(1-p).
+    # torch.binary_cross_entropy clamps each log term at -100; match it so
+    # extreme predictions rank identically in the SimOTA cost.
+    log_p = jnp.maximum(jnp.log(p), -100.0)
+    log_1p = jnp.maximum(jnp.log(1.0 - p), -100.0)
     # cost[m, a] = -Σ_c onehot[m,c]·log_p[a,c] + (1-onehot)[m,c]·log_1p[a,c]
     pos = onehot @ log_p.T          # [M, A]
     neg = (1.0 - onehot) @ log_1p.T  # [M, A]

@@ -7,12 +7,12 @@ TPU way:
 
 * **static capacity** — callers pass a fixed candidate count (we pre-select
   the top-K scoring boxes) and get back a fixed-size keep *mask*;
-* **O(K²) matrix formulation** — one pairwise-IoU matrix plus a
-  `lax.fori_loop` sweep maps cleanly onto the VPU; K≈1k-2k costs ~4 MB,
-  comfortably VMEM-resident;
-* **class-aware NMS by coordinate offset** — the classic trick
-  `boxes + class_id * max_coord` turns batched_nms into plain NMS with zero
-  extra memory (same semantics as `torchvision.ops.batched_nms`).
+* **O(K²) matrix formulation** — one pairwise-IoU matrix plus a bounded
+  iterate-to-fixpoint recurrence (see `_suppress`) maps cleanly onto the
+  VPU with no long serial dependency chain;
+* **class-aware NMS via a same-class suppression mask** (exact
+  `torchvision.ops.batched_nms` semantics; see `batched_class_nms` for why
+  the coordinate-offset trick is unsafe with exp-decoded boxes).
 
 Everything is jit-/vmap-compatible; a whole batch runs inside one XLA
 program with no host round-trip.

@@ -20,7 +20,10 @@ import orbax.checkpoint as ocp
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    # jax.device_get batches the transfers; mapping np.asarray per leaf
+    # costs one tunnel round trip (~35 ms) per tensor — ~10 s for a full
+    # train state.
+    return jax.device_get(tree)
 
 
 def save_checkpoint(state: Any, is_best: bool, save_dir: str,

@@ -135,6 +135,8 @@ class Trainer:
             else None
         )
         self.use_l1 = False
+        self._epoch_iter = None
+        self._mosaic_switched = False
 
         self.tblogger = None
         try:
@@ -175,12 +177,18 @@ class Trainer:
         ):
             logger.info("--->No mosaic aug now!")
             self.train_loader.close_mosaic()
+            self._mosaic_switched = True
             logger.info("--->Add additional L1 loss now!")
             self.use_l1 = True
             exp.eval_interval = 1
             if not self.no_aug:
                 self.save_ckpt(ckpt_name="last_mosaic_epoch")
-        self._epoch_iter = iter(self.train_loader)
+        # persistent iterator: the sampler is infinite and re-creating it
+        # would respawn the loader workers every epoch.  Re-created only
+        # when the mosaic switch must reach the workers.
+        if getattr(self, "_epoch_iter", None) is None or self._mosaic_switched:
+            self._epoch_iter = iter(self.train_loader)
+            self._mosaic_switched = False
 
     def train_one_epoch(self):
         step_fn = self._get_step()
@@ -204,15 +212,16 @@ class Trainer:
                     jax.random.PRNGKey(self.progress_in_iter),
                 )
             iter_time = time.time() - iter_start
+            host_metrics = jax.device_get(metrics)  # one tunnel round trip
             self.meter.update(
                 iter_time=iter_time,
                 data_time=data_time,
-                total_loss=float(metrics["total_loss"]),
-                iou_loss=float(metrics["iou_loss"]),
-                conf_loss=float(metrics["conf_loss"]),
-                cls_loss=float(metrics["cls_loss"]),
-                l1_loss=float(metrics["l1_loss"]),
-                num_fg=float(metrics["num_fg"]),
+                total_loss=float(host_metrics["total_loss"]),
+                iou_loss=float(host_metrics["iou_loss"]),
+                conf_loss=float(host_metrics["conf_loss"]),
+                cls_loss=float(host_metrics["cls_loss"]),
+                l1_loss=float(host_metrics["l1_loss"]),
+                num_fg=float(host_metrics["num_fg"]),
             )
 
             if (it + 1) % self.exp.print_interval == 0:

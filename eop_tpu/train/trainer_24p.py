@@ -109,14 +109,21 @@ class Trainer24P:
                 )
             return steps[use_l1]
 
+        evaluator = None
+        if getattr(args, "eval", False):
+            evaluator = exp.get_evaluator(args.batch_size)
+        best_ap = 0.0
+
         logger.info("24p training start...")
         global_step = 0
+        # one persistent iterator: the sampler is infinite, and re-creating
+        # it each epoch would respawn the worker processes (~20 s/epoch)
+        it = iter(self.train_loader)
         for epoch in range(self.start_epoch, self.max_epoch):
             self.epoch = epoch
             use_l1 = epoch >= self.max_epoch - exp.L1_epoch
             step_fn = get_step(use_l1)
             epoch_start = time.time()
-            it = iter(self.train_loader)
             for i in range(self.iters_per_epoch):
                 imgs, labels, _, _ = next(it)
                 imgs = jnp.asarray(np.ascontiguousarray(imgs, np.float32))
@@ -138,7 +145,10 @@ class Trainer24P:
                         f"cls {float(metrics['cls_loss']):.4f} "
                         f"fg/gt {float(metrics['num_fg']):.2f}"
                     )
-                self._tb_data(metrics, global_step)
+                if self.tblogger is not None:
+                    # one host transfer for the whole metric tree (each
+                    # float() is a full tunnel round trip)
+                    self._tb_data(jax.device_get(metrics), global_step)
                 global_step += 1
             logger.info(
                 f"epoch {epoch + 1} done in {time.time() - epoch_start:.1f}s"
@@ -147,6 +157,28 @@ class Trainer24P:
                 state, False, self.file_name, "last_epoch",
                 metadata={"start_epoch": epoch + 1},
             )
+            if evaluator and (epoch + 1) % exp.eval_interval == 0:
+                eval_vars = {
+                    "params": state.ema_params
+                    if exp.ema and state.ema_params is not None
+                    else state.params,
+                    "batch_stats": state.batch_stats,
+                }
+                ap5095, ap50, summary = evaluator.evaluate(
+                    exp.get_infer_fn(model, eval_vars)
+                )
+                logger.info(f"epoch {epoch + 1} eval:\n{summary}")
+                logger.info(f"AP50:95={ap5095:.4f} AP50={ap50:.4f}")
+                if self.tblogger:
+                    self.tblogger.add_scalar("val/AP50", ap50, epoch + 1)
+                    self.tblogger.add_scalar(
+                        "val/AP50_95", ap5095, epoch + 1)
+                if ap5095 > best_ap:
+                    best_ap = ap5095
+                    save_checkpoint(
+                        state, True, self.file_name, "last_epoch",
+                        metadata={"start_epoch": epoch + 1},
+                    )
         self.train_loader.shutdown()
         return state
 

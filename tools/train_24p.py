@@ -32,6 +32,9 @@ def make_parser():
     parser.add_argument("--label-dir", type=str, default=None,
                         help="24p txt labels directory")
     parser.add_argument("--max-epoch", type=int, default=None)
+    parser.add_argument("--eval", action="store_true",
+                        help="evaluate COCO-24p AP every eval_interval "
+                             "epochs (the reference trains blind)")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[],
                         help="exp overrides: key value ...")
     return parser
