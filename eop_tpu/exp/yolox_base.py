@@ -301,6 +301,36 @@ class Exp(BaseExp):
 
         return infer
 
+
+    def get_serving_fn(self, model, variables, src_hw):
+        """Fully-fused serving step: on-device letterbox (uint8 in) +
+        forward + decode + NMS in ONE jitted program — zero host-side
+        preprocessing (the north-star deployment path).
+
+        ``src_hw``: static (H, W) of the raw input batch.
+        """
+        import jax
+
+        from ..data.transforms import letterbox_batch_device
+
+        @jax.jit
+        def serve(raw_uint8):
+            imgs = raw_uint8.astype(jax.numpy.float32)
+            imgs, _ = letterbox_batch_device(imgs, src_hw, self.test_size)
+            head_outs, _ = model.apply(variables, imgs, False)
+            from ..eval.postprocess import postprocess_bbox
+            from ..models import inference_outputs
+
+            decoded = inference_outputs(head_outs)
+            return postprocess_bbox(
+                decoded.astype(jax.numpy.float32),
+                num_classes=self.num_classes,
+                conf_thre=self.test_conf,
+                nms_thre=self.nmsthre,
+            )
+
+        return serve
+
     def eval(self, model, variables, evaluator, is_distributed=False):
         return evaluator.evaluate(
             self.get_infer_fn(model, variables), is_distributed
