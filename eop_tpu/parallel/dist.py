@@ -19,7 +19,6 @@ this module is thin:
 
 from __future__ import annotations
 
-import functools
 import pickle
 import time
 from typing import Any, List

@@ -160,3 +160,29 @@ def test_evaluator_24p_oracle(tmp_path):
 
     ap5095, ap50, summary = ev.evaluate(Oracle())
     assert ap50 == pytest.approx(1.0, abs=1e-6), summary
+
+
+def test_serving_fn_fused_preproc():
+    """Exp.get_serving_fn: raw uint8 non-square batch -> detections, with
+    letterbox fused into the jitted program."""
+    import jax
+    import jax.numpy as jnp
+
+    from eop_tpu.exp import Exp
+    from eop_tpu.models import init_model
+
+    exp = Exp()
+    exp.merge(["depth", "0.33", "width", "0.25", "num_classes", "4",
+               "test_size", "(64,64)", "input_size", "(64,64)"])
+    model = exp.get_model()
+    v = init_model(model, jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3)))
+    serve = exp.get_serving_fn(model, v, src_hw=(48, 80))
+    raw = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (2, 48, 80, 3),
+                                         dtype=np.uint8)
+    )
+    dets = jax.device_get(serve(raw))
+    # capacity = min(max_detections, anchor count): 84 anchors at 64px
+    assert dets.rows.shape == (2, 84, 7)
+    assert dets.valid.shape == (2, 84)
