@@ -1,0 +1,90 @@
+"""Coverage for small runtime utilities: prefetcher, dist helpers, meters,
+demo NMS, logger."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_device_prefetcher_order_and_exhaustion():
+    from eop_tpu.data.dataloading import DevicePrefetcher
+
+    batches = [
+        {"x": np.full((2, 3), i, np.float32)} for i in range(4)
+    ]
+    pf = DevicePrefetcher(iter(batches))
+    seen = [float(b["x"][0, 0]) for b in pf]
+    assert seen == [0.0, 1.0, 2.0, 3.0]
+    assert pf.next() is None
+
+
+def test_dist_single_host_helpers():
+    from eop_tpu.parallel import dist
+
+    assert dist.get_world_size() == 1
+    assert dist.is_main_process()
+    assert dist.all_gather({"a": [1, 2]}) == [{"a": [1, 2]}]
+    assert dist.gather("x", dst=0) == ["x"]
+    dist.synchronize()  # no-op single host
+    t = dist.time_synchronized()
+    assert t > 0
+
+
+def test_meter_buffer():
+    from eop_tpu.utils.metric import MeterBuffer
+
+    mb = MeterBuffer(window_size=3)
+    for i in range(5):
+        mb.update(loss=float(i), iter_time=0.1)
+    assert mb["loss"].latest == 4.0
+    assert mb["loss"].avg == pytest.approx((2 + 3 + 4) / 3)
+    assert mb["loss"].global_avg == pytest.approx(2.0)
+    assert set(mb.get_filtered_meter("time")) == {"iter_time"}
+
+
+def test_demo_numpy_nms():
+    from eop_tpu.utils.demo_utils import multiclass_nms
+
+    boxes = np.array(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], np.float32
+    )
+    scores = np.zeros((3, 2), np.float32)
+    scores[0, 0] = 0.9
+    scores[1, 0] = 0.8
+    scores[2, 1] = 0.7
+    dets = multiclass_nms(boxes, scores, nms_thr=0.5, score_thr=0.1,
+                          class_agnostic=False)
+    assert dets.shape[0] == 2  # duplicate suppressed, classes kept
+    assert set(dets[:, 5].astype(int)) == {0, 1}
+
+
+def test_logger_capture(tmp_path):
+    from eop_tpu.utils.logger import logger, setup_logger
+
+    setup_logger(str(tmp_path), 0, filename="t.txt", mode="o")
+    logger.info("hello-world-123")
+    for h in logger.handlers:
+        h.flush()
+    content = (tmp_path / "t.txt").read_text()
+    assert "hello-world-123" in content
+
+
+def test_stream_to_logger():
+    import logging
+
+    from eop_tpu.utils.logger import StreamToLogger
+
+    records = []
+
+    class H(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    lg = logging.getLogger("cap_test")
+    lg.addHandler(H())
+    lg.setLevel(logging.INFO)
+    s = StreamToLogger(lg)
+    print("captured-print", file=s)
+    assert any("captured-print" in r for r in records)
