@@ -43,12 +43,19 @@ class Detections(NamedTuple):
 
 
 def _select_rows(rows, keep, order, max_det):
-    """Compact kept rows (sorted by score) into the first slots."""
-    scores_rank = jnp.where(keep, jnp.arange(keep.shape[0]), keep.shape[0])
-    # candidates already sorted by score; stable select of kept ones
-    sel = jnp.argsort(scores_rank)[:max_det]
-    out = rows[order][sel]
-    valid = keep[sel]
+    """Compact kept rows (already score-sorted) into the first slots.
+
+    Cumsum-scatter compaction instead of an argsort: sorts lower to a full
+    per-row sort on TPU, the scatter is O(K).
+    """
+    k = keep.shape[0]
+    m = min(max_det, k)
+    dest = jnp.where(keep, jnp.cumsum(keep) - 1, m)  # drop slot for ~keep
+    cand = rows[order]
+    out = jnp.zeros((m, rows.shape[-1]), rows.dtype)
+    out = out.at[jnp.clip(dest, 0, m)].set(cand, mode="drop")
+    n_kept = jnp.sum(keep)
+    valid = jnp.arange(m) < jnp.minimum(n_kept, m)
     return out, valid
 
 
