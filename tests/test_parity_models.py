@@ -244,3 +244,27 @@ def test_yolox_24p_head_inference():
     head_outs, _ = fm.apply(variables, xj, False)
     ours_dec = np.asarray(inference_outputs(head_outs, reg_dim=26))
     np.testing.assert_allclose(ref_dec, ours_dec, rtol=1e-4, atol=1e-4)
+
+
+def test_yolox_nano_depthwise_inference():
+    """Depthwise (nano-style) model: DWConv key mapping + decode parity."""
+    pafpn = ref_loader.ref_module("yolo_pafpn")
+    head = ref_loader.ref_module("yolo_head")
+    yolox = ref_loader.ref_module("yolox")
+    torch.manual_seed(3)
+    backbone = pafpn.YOLOPAFPN("darknet", 0.33, 0.25, depthwise=True)
+    h = head.YOLOXHead(4, 0.25, depthwise=True)
+    tm = ref_loader.apply_init_yolo(yolox.YOLOX(backbone, h))
+    h.initialize_biases(1e-2)
+    tm = tm.eval()
+
+    x = seeded_input((1, 3, 64, 64), seed=11)
+    xj = jnp.asarray(to_nhwc(x))
+    fm = YOLOX(depth=0.33, width=0.25, num_classes=4, depthwise=True)
+    variables = import_weights(tm, fm, xj)
+    with torch.no_grad():
+        ref_dec, _ = tm(torch.from_numpy(x))
+    head_outs, _ = fm.apply(variables, xj, False)
+    ours_dec = np.asarray(inference_outputs(head_outs))
+    np.testing.assert_allclose(ref_dec.numpy(), ours_dec,
+                               rtol=5e-4, atol=5e-4)
