@@ -77,3 +77,20 @@ def setup_logger(save_dir=None, distributed_rank: int = 0,
     if redirect and distributed_rank == 0:
         redirect_sys_output()
     return logger
+
+
+def catch(fn):
+    """Decorator logging uncaught exceptions with traceback before
+    re-raising (the reference decorates its mains with ``@logger.catch``,
+    e.g. `yolox_24p/train_24p.py:203`)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except Exception:
+            logger.exception("uncaught exception in %s", fn.__name__)
+            raise
+
+    return wrapper

@@ -107,4 +107,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from eop_tpu.utils.logger import catch
+
+    catch(main)()
