@@ -245,3 +245,50 @@ def test_label_generator_end_to_end(coco_dir, tmp_path):
     img, target, info, img_id = ds[0]
     assert img.shape == (128, 128, 3)
     assert target.shape == (50, 51)
+
+
+def test_concat_datasets():
+    from eop_tpu.data.datasets_wrapper import (
+        ConcatDataset,
+        Dataset,
+        MixConcatDataset,
+    )
+
+    class Toy(Dataset):
+        def __init__(self, base):
+            super().__init__((32, 32))
+            self.base = base
+
+        def __len__(self):
+            return 3
+
+        @Dataset.mosaic_getitem
+        def __getitem__(self, i):
+            return self.base + i
+
+        def pull_item(self, i):
+            return ("pull", self.base + i)
+
+    c = ConcatDataset([Toy(0), Toy(100)])
+    assert len(c) == 6
+    assert c[4] == 101
+    assert c.pull_item(1) == ("pull", 1)
+    assert c.pull_item(-1) == ("pull", 102)
+
+    m = MixConcatDataset([Toy(0), Toy(100)])
+    assert m[(True, 4, 0)] == 101   # tuple-index protocol routes through
+    assert m[2] == 2
+
+
+def test_exp_repr_and_merge():
+    from eop_tpu.exp import Exp
+
+    exp = Exp()
+    exp.merge(["max_epoch", "5", "mosaic_scale", "(0.2, 1.0)",
+               "enable_mixup", "False", "act", "relu"])
+    assert exp.max_epoch == 5
+    assert exp.mosaic_scale == (0.2, 1.0)
+    assert exp.enable_mixup is False
+    assert exp.act == "relu"
+    table = repr(exp)
+    assert "max_epoch" in table and "5" in table
