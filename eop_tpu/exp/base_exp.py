@@ -63,7 +63,14 @@ class BaseExp(metaclass=ABCMeta):
             if hasattr(self, k):
                 src_value = getattr(self, k)
                 src_type = type(src_value)
-                if src_value is not None and src_type != type(v):
+                if src_value is None and isinstance(v, str):
+                    # None-default attrs (seed, data_dir, random_size...):
+                    # parse literals, keep plain strings as strings
+                    try:
+                        v = ast.literal_eval(v)
+                    except (ValueError, SyntaxError):
+                        pass
+                elif src_value is not None and src_type != type(v):
                     if src_type in (tuple, list, dict, bool):
                         # container/bool targets: parse the literal, then
                         # cast (naive tuple("(1,2)") would char-split)

@@ -292,3 +292,14 @@ def test_exp_repr_and_merge():
     assert exp.act == "relu"
     table = repr(exp)
     assert "max_epoch" in table and "5" in table
+
+
+def test_merge_none_default_coercion():
+    from eop_tpu.exp import Exp
+
+    exp = Exp()
+    exp.merge(["seed", "3", "data_dir", "/some/path",
+               "random_size", "(10, 20)"])
+    assert exp.seed == 3                 # literal int, not "3"
+    assert exp.data_dir == "/some/path"  # plain string preserved
+    assert exp.random_size == (10, 20)
