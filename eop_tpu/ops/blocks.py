@@ -255,8 +255,71 @@ def space_to_depth_2x2(x):
     return jnp.concatenate([tl, bl, tr, br], axis=-1)
 
 
+class _FocusKernel(nn.Module):
+    """Holds the Focus conv kernel at the BaseConv-compatible param path
+    (``conv/kernel`` with shape [k, k, 4*cin, cout]) so torch imports and
+    existing checkpoints are unaffected by the folded compute path."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            self.shape,
+            jnp.float32,
+        )
+
+
+class _FoldedFocusConv(nn.Module):
+    """BaseConv-compatible (param paths ``conv/kernel`` + ``bn/*``) conv
+    that folds the preceding 2x2 space-to-depth into a 2k×2k stride-2
+    convolution with rearranged weights."""
+
+    out_channels: int
+    ksize: int
+    act: str
+    dtype: Dtype
+    bn_axis_name: str | None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        k = self.ksize
+        w3 = _FocusKernel(
+            (k, k, 4 * cin, self.out_channels), name="conv"
+        )()
+        # s2d group g=(di, dj) channel c sits at original pixel offset
+        # (2u+di, 2v+dj); group order matches space_to_depth_2x2's concat
+        # (tl, bl, tr, br).
+        w3r = w3.reshape(k, k, 4, cin, self.out_channels)
+        w6 = jnp.zeros((2 * k, 2 * k, cin, self.out_channels), w3.dtype)
+        for g, (di, dj) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+            w6 = w6.at[di::2, dj::2].set(w3r[:, :, g])
+        pad = 2 * ((k - 1) // 2)  # (k-1)//2 on the s2d grid = 2x in pixels
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w6.astype(self.dtype),
+            window_strides=(2, 2),
+            padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = batch_norm(y, train, dtype=self.dtype,
+                       axis_name=self.bn_axis_name)
+        return get_activation(self.act)(y)
+
+
 class Focus(nn.Module):
-    """Focus w/h info into channel space (reference `Focus`, :188-210)."""
+    """Focus w/h info into channel space (reference `Focus`, :188-210).
+
+    TPU note: materializing the 2x2 space-to-depth costs ~30% of the whole
+    640px forward in strided-slice relayout fusions (profiled on v5e).
+    Since s2d followed by a k×k conv is linearly identical to a 2k×2k
+    stride-2 conv with rearranged weights, ``fold_s2d=True`` (default)
+    computes that equivalent convolution directly — same parameters, same
+    FLOPs, no relayout.
+    """
 
     out_channels: int
     ksize: int = 1
@@ -264,11 +327,19 @@ class Focus(nn.Module):
     act: str = "silu"
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    fold_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = space_to_depth_2x2(x)
-        return BaseConv(
-            self.out_channels, self.ksize, self.stride, act=self.act,
-            dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="conv",
+        if not self.fold_s2d or self.stride != 1:
+            x = space_to_depth_2x2(x)
+            return BaseConv(
+                self.out_channels, self.ksize, self.stride, act=self.act,
+                dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                name="conv",
+            )(x, train)
+
+        return _FoldedFocusConv(
+            self.out_channels, self.ksize, self.act, self.dtype,
+            self.bn_axis_name, name="conv",
         )(x, train)
