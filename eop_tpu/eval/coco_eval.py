@@ -164,7 +164,12 @@ class COCOeval:
             if len(self.ious[imgId, catId]) > 0
             else self.ious[imgId, catId]
         )
-        ious = ious[dtind[:maxDet]] if len(ious) > 0 else ious
+        # computeIoU already emitted rows in stable score-sorted order (and
+        # truncated to maxDets[-1]); the same stable sort above reproduces
+        # that ordering for dt, so rows only need truncating to maxDet —
+        # re-permuting by dtind would misalign them (pycocotools keeps the
+        # row order and indexes only dind < maxDet).
+        ious = ious[:maxDet] if len(ious) > 0 else ious
 
         T = len(p.iouThrs)
         G = len(gt)

@@ -67,6 +67,7 @@ def postprocess_bbox(
     class_agnostic: bool = False,
     max_detections: int = 300,
     nms_candidates: int = 512,
+    nms_fixpoint_iters: int | None = None,
 ) -> Detections:
     """Returns rows [B, max_det, 7]: x1, y1, x2, y2, obj, cls_conf, cls."""
 
@@ -80,11 +81,13 @@ def postprocess_bbox(
         # below to keep >= semantics under float compare
         if class_agnostic:
             keep, order = nms(boxes, scores, nms_thre,
-                              conf_thre - 1e-12, nms_candidates)
+                              conf_thre - 1e-12, nms_candidates,
+                              fixpoint_iters=nms_fixpoint_iters)
         else:
             keep, order = batched_class_nms(
                 boxes, scores, cls_id, nms_thre,
                 conf_thre - 1e-12, nms_candidates,
+                fixpoint_iters=nms_fixpoint_iters,
             )
         rows = jnp.concatenate(
             [boxes, obj[:, None], cls_conf[:, None],
@@ -106,6 +109,7 @@ def postprocess_24p(
     max_detections: int = 300,
     nms_candidates: int = 512,
     reference_parity: bool = False,
+    nms_fixpoint_iters: int | None = None,
 ) -> Detections:
     """Returns rows [B, max_det, 29]: x, y, r1..r24, obj, cls_conf, cls."""
 
@@ -124,11 +128,13 @@ def postprocess_24p(
 
         if class_agnostic:
             keep, order = nms(boxes, scores, nms_thre,
-                              conf_thre - 1e-12, nms_candidates)
+                              conf_thre - 1e-12, nms_candidates,
+                              fixpoint_iters=nms_fixpoint_iters)
         else:
             keep, order = batched_class_nms(
                 boxes, scores, cls_id, nms_thre,
                 conf_thre - 1e-12, nms_candidates,
+                fixpoint_iters=nms_fixpoint_iters,
             )
         rows = jnp.concatenate(
             [centers, radii, obj[:, None], cls_conf[:, None],

@@ -82,7 +82,7 @@ class YOLOXHead(nn.Module):
                                 _prior_bias(self.prior_prob))(cls_feat)
 
             reg_feat = Conv(hidden, 3, 1, name=f"reg_conv_{k}_0", **kw)(x, train)
-            reg_feat = Conv(hidden, 3, 1, name=f"reg_conv_{k}_1", **kw)(reg_feat)
+            reg_feat = Conv(hidden, 3, 1, name=f"reg_conv_{k}_1", **kw)(reg_feat, train)
             obj_out = pred_conv(1, f"obj_pred_{k}",
                                 _prior_bias(self.prior_prob))(reg_feat)
             reg_out = pred_conv(self.reg_dim, f"reg_pred_{k}")(reg_feat)

@@ -30,7 +30,8 @@ FIXPOINT_ITERS = 16
 
 
 def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
-              same_class: jnp.ndarray | None = None):
+              same_class: jnp.ndarray | None = None,
+              fixpoint_iters: int | None = None):
     """Greedy NMS over boxes already sorted by descending score, computed
     as an iterate-to-fixpoint matrix recurrence instead of a K-step serial
     sweep.
@@ -60,8 +61,13 @@ def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
     # iterations; measured depth on dense worst-case data (1000 random
     # boxes/img, 37% survivors) is <16 — identical results at 16 and 64
     # iterations.  A data-dependent while_loop is exact for arbitrary
-    # adversarial chains but compiles ~50x slower under vmap.
-    iters = min(FIXPOINT_ITERS, k)
+    # adversarial chains but compiles ~50x slower under vmap.  The default
+    # budget scales with the candidate count (k/8, floor FIXPOINT_ITERS) so
+    # dense low-threshold configs stay greedy-exact; callers with deeper
+    # chains can raise ``fixpoint_iters`` (k is always exact).
+    if fixpoint_iters is None:
+        fixpoint_iters = max(FIXPOINT_ITERS, k // 8)
+    iters = min(fixpoint_iters, k)
 
     def body(_, cur):
         suppressed = jnp.any(overlap & cur[:, None], axis=0)
@@ -76,6 +82,7 @@ def nms(
     iou_threshold: float,
     score_threshold: float = 0.0,
     max_candidates: int | None = None,
+    fixpoint_iters: int | None = None,
 ):
     """Class-agnostic NMS with static shapes.
 
@@ -85,6 +92,8 @@ def nms(
       iou_threshold: suppression threshold.
       score_threshold: candidates below it are masked out entirely.
       max_candidates: top-K pre-selection (defaults to N).
+      fixpoint_iters: suppression-recurrence budget (default: scaled, see
+        `_suppress`).
 
     Returns:
       (keep_mask [K], order [K]) — ``order`` indexes into the original N,
@@ -96,7 +105,8 @@ def nms(
     cand = boxes[order]
     valid = top_scores > score_threshold
     iou = bboxes_iou(cand, cand, xyxy=True)
-    keep = _suppress(iou, valid, iou_threshold)
+    keep = _suppress(iou, valid, iou_threshold,
+                     fixpoint_iters=fixpoint_iters)
     return keep, order
 
 
@@ -107,6 +117,7 @@ def batched_class_nms(
     iou_threshold: float,
     score_threshold: float = 0.0,
     max_candidates: int | None = None,
+    fixpoint_iters: int | None = None,
 ):
     """Per-class NMS (torchvision `batched_nms` semantics, ref
     `boxes.py:60-65`): boxes of different classes never suppress each
@@ -127,5 +138,6 @@ def batched_class_nms(
     valid = top_scores > score_threshold
     iou = bboxes_iou(cand, cand, xyxy=True)
     same_class = cand_cls[:, None] == cand_cls[None, :]
-    keep = _suppress(iou, valid, iou_threshold, same_class)
+    keep = _suppress(iou, valid, iou_threshold, same_class,
+                     fixpoint_iters=fixpoint_iters)
     return keep, order

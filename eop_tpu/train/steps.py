@@ -40,6 +40,10 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     ema_params: Any = None
+    # the reference's ModelEMA averages every floating state_dict entry,
+    # BN running stats included (`yolox/utils/ema.py:42-53`) — so eval-with-
+    # EMA must pair EMA params with EMA batch stats, not the live ones.
+    ema_batch_stats: Any = None
     dwa: Optional[DWAState] = None
 
 
@@ -62,6 +66,9 @@ def create_train_state(
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
+        ema_batch_stats=(
+            jax.tree.map(jnp.copy, batch_stats) if use_ema else None
+        ),
         dwa=DWAState.init() if with_dwa else None,
     )
 
@@ -95,16 +102,22 @@ def make_train_step_bbox(
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
+        new_ema_bs = state.ema_batch_stats
         if state.ema_params is not None and ema_decay is not None:
             new_ema = ema_update(
                 state.ema_params, new_params, state.step + 1, ema_decay
             )
+            if new_ema_bs is not None:
+                new_ema_bs = ema_update(
+                    new_ema_bs, new_bs, state.step + 1, ema_decay
+                )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt,
             ema_params=new_ema,
+            ema_batch_stats=new_ema_bs,
         )
         metrics = {
             "total_loss": total,
@@ -150,16 +163,22 @@ def make_train_step_24p(
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
+        new_ema_bs = state.ema_batch_stats
         if state.ema_params is not None and ema_decay is not None:
             new_ema = ema_update(
                 state.ema_params, new_params, state.step + 1, ema_decay
             )
+            if new_ema_bs is not None:
+                new_ema_bs = ema_update(
+                    new_ema_bs, new_bs, state.step + 1, ema_decay
+                )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt,
             ema_params=new_ema,
+            ema_batch_stats=new_ema_bs,
             dwa=new_dwa,
         )
         metrics = {

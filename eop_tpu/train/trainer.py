@@ -102,6 +102,26 @@ class Trainer:
             (1, self.input_size[0], self.input_size[1], 3), jnp.float32
         )
 
+        # Resolve the resume epoch BEFORE building the loader: no_aug (and
+        # with it mosaic state + L1 + eval cadence) depends on start_epoch
+        # (the reference resumes first, then computes no_aug and builds the
+        # loader — `yolox/core/trainer.py:137-147`).  The state tree itself
+        # can only be restored later (it needs the optimizer, which needs
+        # the loader length), so the payload is stashed for resume_train.
+        self._resume_payload = None
+        if getattr(args, "resume", False):
+            ckpt_file = args.ckpt or os.path.join(
+                self.file_name, "latest_ckpt"
+            )
+            self._resume_payload = load_checkpoint(ckpt_file)
+            self.start_epoch = (
+                args.start_epoch
+                if getattr(args, "start_epoch", None) is not None
+                else self._resume_payload.get("metadata", {}).get(
+                    "start_epoch", 0
+                )
+            )
+
         self.no_aug = self.start_epoch >= self.max_epoch - exp.no_aug_epochs
         self.train_loader = exp.get_data_loader(
             batch_size=batch_size,
@@ -284,19 +304,12 @@ class Trainer:
         args = self.args
         if getattr(args, "resume", False):
             logger.info("resume training")
-            ckpt_file = args.ckpt or os.path.join(
-                self.file_name, "latest_ckpt"
-            )
-            payload = load_checkpoint(ckpt_file)
+            payload = self._resume_payload  # loaded in before_train
             merged, _ = load_ckpt_partial(
                 jax.tree.map(np.asarray, self.state), payload["state"]
             )
             self.state = jax.tree.map(jnp.asarray, merged)
-            self.start_epoch = (
-                args.start_epoch
-                if getattr(args, "start_epoch", None) is not None
-                else payload.get("metadata", {}).get("start_epoch", 0)
-            )
+            self._resume_payload = None
             logger.info(f"resumed at epoch {self.start_epoch}")
         elif getattr(args, "ckpt", None):
             logger.info("loading checkpoint for fine tuning")
@@ -316,11 +329,13 @@ class Trainer:
         if self.evaluator is None:
             self.save_ckpt(ckpt_name="last_epoch")
             return
+        use_ema = self.use_ema and self.state.ema_params is not None
         eval_vars = {
-            "params": self.state.ema_params
-            if self.use_ema and self.state.ema_params is not None
-            else self.state.params,
-            "batch_stats": self.state.batch_stats,
+            "params": self.state.ema_params if use_ema else self.state.params,
+            # the reference's EMA covers BN running stats too (ema.py:42-53)
+            "batch_stats": self.state.ema_batch_stats
+            if use_ema and self.state.ema_batch_stats is not None
+            else self.state.batch_stats,
         }
         ap50_95, ap50, summary = self.exp.eval(
             self.model, eval_vars, self.evaluator

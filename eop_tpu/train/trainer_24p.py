@@ -158,11 +158,13 @@ class Trainer24P:
                 metadata={"start_epoch": epoch + 1},
             )
             if evaluator and (epoch + 1) % exp.eval_interval == 0:
+                use_ema = exp.ema and state.ema_params is not None
                 eval_vars = {
-                    "params": state.ema_params
-                    if exp.ema and state.ema_params is not None
-                    else state.params,
-                    "batch_stats": state.batch_stats,
+                    "params": state.ema_params if use_ema else state.params,
+                    # EMA covers BN running stats too (ref ema.py:42-53)
+                    "batch_stats": state.ema_batch_stats
+                    if use_ema and state.ema_batch_stats is not None
+                    else state.batch_stats,
                 }
                 ap5095, ap50, summary = evaluator.evaluate(
                     exp.get_infer_fn(model, eval_vars)
