@@ -199,7 +199,8 @@ class ImageDistortion:
 def create_2d_feature_map(fpn_outs, pred_rows, gt_box_fm, image_name,
                           table: Dict[str, List[float]],
                           save_path: Optional[str] = None,
-                          show: bool = False):
+                          show: bool = False,
+                          figsize=(15, 8)):
     """Channel-mean FPN heatmaps + per-GT activation means
     (ref `create_2D_feature_map:330-392`).  ``fpn_outs``: 3 NHWC arrays at
     strides 8/16/32; ``pred_rows``: [N, >=4] xyxy in the 640 frame;
@@ -210,7 +211,7 @@ def create_2d_feature_map(fpn_outs, pred_rows, gt_box_fm, image_name,
     import matplotlib.pyplot as plt
     import seaborn as sns
 
-    fig_2d, ax_2d = plt.subplots(2, 3, figsize=(15, 8))
+    fig_2d, ax_2d = plt.subplots(2, 3, figsize=figsize)
     if pred_rows is None or len(pred_rows) == 0:
         pred_rows = np.zeros((1, 7))
     pred_box = np.asarray(pred_rows)[:, :4] / 640

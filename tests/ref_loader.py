@@ -118,6 +118,39 @@ def ref_24p_boxes():
     return _load_file("_ref_24p_boxes", f"{REF}/yolox_24p/utils/boxes.py")
 
 
+def ref_demo_featuremap():
+    """Import the reference's demo_featuremap.py (all logic is under the
+    __main__ guard, so the import is side-effect free).  Its heavy imports
+    (pycocotools, prettytable, exp plumbing) are stubbed; seaborn and
+    matplotlib are real."""
+    install_stubs()
+    ref_models()  # installs the fake yolox package w/ real utils.postprocess
+    yolox_pkg = sys.modules["yolox"]
+    if not hasattr(yolox_pkg, "data"):
+        fake_data = _ensure_stub("yolox.data", ValTransform=object)
+        fake_da = _ensure_stub("yolox.data.data_augment", ValTransform=object)
+        fake_ds = _ensure_stub("yolox.data.datasets", COCO_CLASSES=())
+        fake_data.data_augment = fake_da
+        fake_data.datasets = fake_ds
+        yolox_pkg.data = fake_data
+        fake_exp = _ensure_stub("yolox.exp", get_exp=lambda *a, **k: None)
+        yolox_pkg.exp = fake_exp
+        u = sys.modules["yolox.utils"]
+        u.get_model_info = lambda *a, **k: ""
+        u.vis = lambda *a, **k: None
+    _ensure_stub("pycocotools")
+    _ensure_stub("pycocotools.coco", COCO=object)
+    _ensure_stub("pycocotools.cocoeval", COCOeval=object)
+    sys.modules["pycocotools"].coco = sys.modules["pycocotools.coco"]
+    sys.modules["pycocotools"].cocoeval = sys.modules["pycocotools.cocoeval"]
+    _ensure_stub("prettytable", PrettyTable=object)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    return _load_file("_ref_demo_featuremap",
+                      f"{REF}/yolox/demo_featuremap.py")
+
+
 def apply_init_yolo(torch_model):
     """The reference's get_model BN re-init: eps 1e-3, momentum 0.03
     (`yolox/exp/yolox_base.py:76-80`)."""
