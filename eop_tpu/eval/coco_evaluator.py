@@ -103,28 +103,43 @@ class COCOEvaluator:
         self.per_class_AR = per_class_AR
 
     def evaluate(self, infer_fn: Callable, distributed: bool = False,
-                 half: bool = False):
+                 half: bool = False, decode_fn: Optional[Callable] = None):
         """Run ``infer_fn`` over the loader and compute AP.
 
         Returns (ap50_95, ap50, summary_str) like the reference
         (`evaluate:115-197`).
+
+        ``decode_fn`` (forward + decode, no NMS) restores the reference's
+        forward-vs-NMS timing split: NMS cannot be timed inside the fused
+        program, so it is estimated once per eval as the difference between
+        the full pipeline and the decode-only pipeline on the last batch
+        (the reference instead accumulates the two timers every batch,
+        `coco_evaluator.py:161-189`).
         """
         import jax
 
         data_list: List[dict] = []
         inference_time = 0.0
         n_batches = 0
+        last_imgs = None
 
         for cur_iter, batch in enumerate(self.dataloader):
             imgs, _, info_imgs, ids = batch
             start = time.time()
-            dets = infer_fn(np.asarray(imgs, np.float32))
+            last_imgs = np.asarray(imgs, np.float32)
+            dets = infer_fn(last_imgs)
             dets = jax.device_get(dets)
             inference_time += time.time() - start
             n_batches += 1
             data_list.extend(
                 self.convert_to_coco_format(dets, info_imgs, ids)
             )
+
+        nms_time = 0.0
+        if decode_fn is not None and last_imgs is not None:
+            nms_time = self._estimate_nms_time(
+                infer_fn, decode_fn, last_imgs
+            ) * n_batches
 
         if distributed:
             from jax.experimental import multihost_utils
@@ -133,8 +148,25 @@ class COCOEvaluator:
             data_list = list(itertools.chain(*gathered)) \
                 if isinstance(gathered, list) else data_list
 
-        statistics = (inference_time, 0.0, max(n_batches, 1))
+        statistics = (inference_time, nms_time, max(n_batches, 1))
         return self.evaluate_prediction(data_list, statistics)
+
+    @staticmethod
+    def _estimate_nms_time(infer_fn, decode_fn, imgs, reps: int = 3):
+        """Per-batch NMS cost ~= t(forward+decode+NMS) - t(forward+decode).
+        Both handles are timed warm (first call compiles) and synchronized
+        by a host fetch, which is what actually blocks over the device
+        tunnel."""
+        import jax
+
+        def timed(fn):
+            jax.device_get(fn(imgs))  # warm / compile
+            start = time.time()
+            for _ in range(reps):
+                jax.device_get(fn(imgs))
+            return (time.time() - start) / reps
+
+        return max(0.0, timed(infer_fn) - timed(decode_fn))
 
     def convert_to_coco_format(self, dets: Detections, info_imgs, ids):
         """Detections -> COCO result dicts, rescaled to original image size
@@ -180,15 +212,20 @@ class COCOEvaluator:
         (ref `evaluate_prediction:231-289`)."""
         annType = ["segm", "bbox", "keypoints"]
         inference_time, nms_time, n_samples = statistics
-        a_infer_time = 1000 * inference_time / (
+        denom = (
             n_samples * self.dataloader.batch_size
             if getattr(self.dataloader, "batch_size", None)
             else n_samples
         )
+        a_infer_time = 1000 * (inference_time - nms_time) / denom
+        a_nms_time = 1000 * nms_time / denom
         time_info = ", ".join(
             [
                 "Average forward time: {:.2f} ms".format(a_infer_time),
-                "(NMS fused into the jitted forward)",
+                "Average NMS time: {:.2f} ms".format(a_nms_time),
+                "Average inference time: {:.2f} ms".format(
+                    a_infer_time + a_nms_time
+                ),
             ]
         )
         info = time_info + "\n"

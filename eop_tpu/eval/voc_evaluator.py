@@ -32,23 +32,36 @@ class VOCEvaluator:
         self.num_images = len(dataloader.dataset)
 
     def evaluate(self, infer_fn: Callable, distributed: bool = False,
-                 half: bool = False):
-        """Returns (mAP50:95, mAP50, summary) (ref `evaluate:48-119`)."""
+                 half: bool = False, decode_fn: Callable | None = None):
+        """Returns (mAP50:95, mAP50, summary) (ref `evaluate:48-119`).
+
+        ``decode_fn`` restores the fwd-vs-NMS timing split; see
+        `COCOEvaluator.evaluate`."""
         import jax
 
         data_dict = {}
         inference_time = 0.0
         n_batches = 0
+        last_imgs = None
         for batch in self.dataloader:
             imgs, _, info_imgs, ids = batch
             start = time.time()
-            dets = infer_fn(np.asarray(imgs, np.float32))
+            last_imgs = np.asarray(imgs, np.float32)
+            dets = infer_fn(last_imgs)
             dets = jax.device_get(dets)
             inference_time += time.time() - start
             n_batches += 1
             data_dict.update(
                 self.convert_to_voc_format(dets, info_imgs, ids)
             )
+
+        nms_time = 0.0
+        if decode_fn is not None and last_imgs is not None:
+            from .coco_evaluator import COCOEvaluator
+
+            nms_time = COCOEvaluator._estimate_nms_time(
+                infer_fn, decode_fn, last_imgs
+            ) * n_batches
 
         all_boxes = [
             [[] for _ in range(self.num_images)]
@@ -72,10 +85,12 @@ class VOCEvaluator:
         mean_ap_5095, mean_ap_50 = (
             self.dataloader.dataset.evaluate_detections(all_boxes)
         )
-        a_infer = 1000 * inference_time / max(n_batches, 1)
+        a_total = 1000 * inference_time / max(n_batches, 1)
+        a_nms = 1000 * nms_time / max(n_batches, 1)
         summary = (
-            f"Average inference time per batch: {a_infer:.2f} ms "
-            "(NMS fused into the jitted forward)\n"
+            f"Average forward time per batch: {a_total - a_nms:.2f} ms, "
+            f"Average NMS time per batch: {a_nms:.2f} ms, "
+            f"Average inference time per batch: {a_total:.2f} ms\n"
         )
         return mean_ap_5095, mean_ap_50, summary
 

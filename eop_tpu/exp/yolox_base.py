@@ -301,6 +301,23 @@ class Exp(BaseExp):
 
         return infer
 
+    def get_decode_fn(self, model, variables):
+        """Jitted forward + decode WITHOUT NMS — used by the evaluator to
+        split forward vs NMS time like the reference
+        (`yolox/evaluators/coco_evaluator.py:161-189`).  Returns a scalar
+        checksum so the host fetch that synchronizes the timing is tiny."""
+        import jax
+
+        @jax.jit
+        def decode_only(imgs):
+            from ..models import inference_outputs
+
+            imgs = imgs.astype(jax.numpy.float32)
+            head_outs, _ = model.apply(variables, imgs, False)
+            decoded = inference_outputs(head_outs)
+            return decoded.astype(jax.numpy.float32).sum()
+
+        return decode_only
 
     def get_serving_fn(self, model, variables, src_hw):
         """Fully-fused serving step: on-device letterbox (uint8 in) +
@@ -333,7 +350,8 @@ class Exp(BaseExp):
 
     def eval(self, model, variables, evaluator, is_distributed=False):
         return evaluator.evaluate(
-            self.get_infer_fn(model, variables), is_distributed
+            self.get_infer_fn(model, variables), is_distributed,
+            decode_fn=self.get_decode_fn(model, variables),
         )
 
 

@@ -5,4 +5,5 @@ from .mesh import (
     batch_sharded,
     shard_batch,
     shard_train_step,
+    sync_batch_stats,
 )

@@ -75,4 +75,19 @@ def shard_train_step(step_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
 # all-reduce — so BN statistics are always cross-replica synced, strictly
 # stronger than the reference's periodic pre-eval `all_reduce_norm`
 # (`yolox/utils/allreduce_norm.py:97-103`).  ``bn_axis_name`` on the models
-# exists for shard_map/pmap flows, where per-device batches are local.
+# exists for shard_map/pmap flows, where per-device batches are local;
+# there, call ``sync_batch_stats`` periodically like the reference does.
+
+
+def sync_batch_stats(batch_stats: Any, axis_name: str = DATA_AXIS):
+    """Cross-replica mean of a batch-stats pytree — the reference's
+    `all_reduce_norm` (`yolox/utils/allreduce_norm.py:32-103`: flatten all
+    BN/IN running stats, all_reduce-average, reload) as one tree transform.
+
+    Must be called *inside* a pmap/shard_map over ``axis_name`` — the
+    flows where per-device batches are local and running stats drift
+    apart.  Like the reference, running variances are arithmetic-averaged
+    across replicas (not pooled), which is exact for means and the
+    standard approximation for variances.
+    """
+    return jax.lax.pmean(batch_stats, axis_name)

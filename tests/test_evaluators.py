@@ -186,3 +186,31 @@ def test_serving_fn_fused_preproc():
     # capacity = min(max_detections, anchor count): 84 anchors at 64px
     assert dets.rows.shape == (2, 84, 7)
     assert dets.valid.shape == (2, 84)
+
+
+def test_coco_evaluator_fwd_nms_timing_split(coco_val_dir):
+    """Passing decode_fn restores the reference's forward-vs-NMS timing
+    split (`yolox/evaluators/coco_evaluator.py:161-189`) in the summary."""
+    img_size = (128, 128)
+    ds = COCODataset(
+        data_dir=coco_val_dir, json_file="instances_val2017.json",
+        name="val2017", img_size=img_size, preproc=ValTransform(),
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=0)
+    evaluator = COCOEvaluator(
+        loader, img_size=img_size, confthre=0.01, nmsthre=0.65,
+        num_classes=2,
+    )
+
+    def infer(imgs):
+        b = imgs.shape[0]
+        return Detections(rows=jnp.zeros((b, 4, 7)),
+                          valid=jnp.zeros((b, 4), bool))
+
+    def decode_only(imgs):
+        return jnp.zeros(())
+
+    _, _, summary = evaluator.evaluate(infer, decode_fn=decode_only)
+    assert "Average forward time" in summary
+    assert "Average NMS time" in summary
+    assert "Average inference time" in summary

@@ -88,3 +88,32 @@ def test_stream_to_logger():
     s = StreamToLogger(lg)
     print("captured-print", file=s)
     assert any("captured-print" in r for r in records)
+
+
+def test_setup_env_configure(monkeypatch):
+    """configure_omp defaults OMP_NUM_THREADS (without clobbering a user
+    value); configure_module clamps cv2 threads and survives restricted
+    rlimits (ref `yolox/utils/setup_env.py:28-77`)."""
+    import os
+
+    from eop_tpu.utils.setup_env import (
+        configure_module,
+        configure_omp,
+        configure_tpu,
+    )
+
+    monkeypatch.delenv("OMP_NUM_THREADS", raising=False)
+    configure_omp()
+    assert os.environ["OMP_NUM_THREADS"] == "1"
+    monkeypatch.setenv("OMP_NUM_THREADS", "7")
+    configure_omp()
+    assert os.environ["OMP_NUM_THREADS"] == "7"
+
+    configure_module(ulimit_value=4096)  # must not raise
+    try:
+        import cv2
+
+        assert cv2.getNumThreads() in (0, 1)
+    except ImportError:
+        pass
+    assert configure_tpu() is None

@@ -51,3 +51,57 @@ def test_sharded_train_step_8dev():
     # params replicated across the mesh
     leaf = jax.tree.leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sync_batch_stats_converges_per_device_bn():
+    """shard_map flow: each device updates BN stats on its LOCAL shard, so
+    running stats drift apart; sync_batch_stats (the reference's
+    all_reduce_norm equivalent, `yolox/utils/allreduce_norm.py:97-103`)
+    must converge them to the cross-device mean on every device."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from eop_tpu.ops.blocks import BaseConv
+    from eop_tpu.parallel import make_mesh, sync_batch_stats
+
+    mesh = make_mesh(8)
+    model = BaseConv(8, 3, 1)
+    rng = np.random.RandomState(0)
+    # per-device data with very different statistics
+    x = (rng.rand(8, 2, 8, 8, 3).astype(np.float32)
+         * np.arange(1, 9, dtype=np.float32)[:, None, None, None, None])
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x[0]), False)
+
+    def local_update(local_x):
+        # local_x: [1, 2, 8, 8, 3] on each device
+        _, mut = model.apply(
+            variables, local_x[0], True, mutable=["batch_stats"]
+        )
+        local = mut["batch_stats"]
+        synced = sync_batch_stats(local)
+        return (
+            jax.tree.map(lambda v: v[None], local),
+            jax.tree.map(lambda v: v[None], synced),
+        )
+
+    with mesh:
+        local, synced = jax.jit(shard_map(
+            local_update, mesh=mesh,
+            in_specs=P("data"),
+            out_specs=P("data"),
+        ))(jnp.asarray(x))
+
+    local_means = np.asarray(local["bn"]["mean"])      # [8, C]
+    synced_means = np.asarray(synced["bn"]["mean"])    # [8, C]
+    # per-device stats genuinely differ before the sync
+    assert np.ptp(local_means, axis=0).max() > 1e-3
+    # after: every device holds the arithmetic mean of all devices' stats
+    expected = local_means.mean(axis=0)
+    for d in range(8):
+        np.testing.assert_allclose(synced_means[d], expected, rtol=1e-5)
+    for d in range(8):
+        np.testing.assert_allclose(
+            np.asarray(synced["bn"]["var"])[d],
+            np.asarray(local["bn"]["var"]).mean(axis=0), rtol=1e-5,
+        )

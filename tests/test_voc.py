@@ -105,3 +105,39 @@ def test_voc_evaluator_oracle(tmp_path):
     # 2-class synthetic set tops out at 2/20 (cat + dog at AP 1.0 each)
     assert map50 == pytest.approx(2 / 20, abs=1e-6)
     assert map5095 > 0.08
+
+
+def test_voc_real_model_e2e(tmp_path):
+    """Full VOC path with a real (random-weight) model: exp config ->
+    VOCdevkit tree -> eval loader -> jitted infer_fn (fwd+decode+NMS) ->
+    VOC results files -> voc_eval mAP (ref
+    `yolox/evaluators/voc_evaluator.py:19-208` driven end-to-end)."""
+    import importlib.util
+    import jax
+    import jax.numpy as jnp
+
+    from eop_tpu.models import init_model
+
+    devkit = tmp_path / "VOCdevkit"
+    devkit.mkdir()
+    _write_voc(str(devkit), n_images=3, seed=3)
+
+    spec = importlib.util.spec_from_file_location(
+        "_voc_exp", "exps/example/yolox_voc/yolox_voc_s.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    exp = mod.Exp()
+    exp.data_dir = str(tmp_path)
+    exp.merge(["width", "0.25", "test_size", "(128,128)",
+               "input_size", "(128,128)", "test_conf", "0.01"])
+
+    model = exp.get_model()
+    variables = init_model(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+    )
+    evaluator = exp.get_evaluator(batch_size=2)
+    map5095, map50, summary = exp.eval(model, variables, evaluator)
+    assert np.isfinite(map50) and np.isfinite(map5095)
+    assert 0.0 <= map50 <= 1.0
+    assert "mAP" in summary or "Average forward time" in summary, summary
