@@ -42,7 +42,9 @@ from .simota import (
     BIG_COST,
     Assignment,
     SimOTAConfig,
+    compact_candidates,
     pairwise_cls_cost,
+    scatter_assignment,
     simota_match,
 )
 
@@ -118,35 +120,117 @@ def simota_assign_24p(
         pair_sim = (
             pair_loss if config.reference_parity else 1.0 - pair_loss
         )
-    else:
-        in_poly = (
-            pts_in_poly_from_labels(labels_xy, x_c, y_c)
-            & gt_valid[:, None]
+        fg_candidate = (
+            jnp.any(in_poly, axis=0) | jnp.any(in_centers, axis=0)
         )
-        r = config.simota.center_radius * strides
-        cx, cy = labels_xy[:, 0], labels_xy[:, 1]
-        in_centers = (
-            (x_c[None, :] > cx[:, None] - r[None, :])
-            & (x_c[None, :] < cx[:, None] + r[None, :])
-            & (y_c[None, :] > cy[:, None] - r[None, :])
-            & (y_c[None, :] < cy[:, None] + r[None, :])
-            & gt_valid[:, None]
-        )
-        pair_sim = pairwise_circle_similarity(
-            gt_centers, gt_radii, poly_preds[:, 0:2], poly_preds[:, 2:26],
-            reference_parity=config.reference_parity,
+        return _match_24p(
+            pair_sim, in_poly, in_centers,
+            jnp.broadcast_to(fg_candidate[None, :], pair_sim.shape),
+            obj_logits, cls_logits, gt_classes, gt_valid, config,
         )
 
+    def in_centers_of(xq, yq, rq):
+        cx, cy = labels_xy[:, 0], labels_xy[:, 1]
+        return (
+            (xq[None, :] > cx[:, None] - rq[None, :])
+            & (xq[None, :] < cx[:, None] + rq[None, :])
+            & (yq[None, :] > cy[:, None] - rq[None, :])
+            & (yq[None, :] < cy[:, None] + rq[None, :])
+            & gt_valid[:, None]
+        )
+
+    def exact_masks_and_sim(xq, yq, rq, preds):
+        """The reference's three per-pair stages on a given anchor set."""
+        in_poly = (
+            pts_in_poly_from_labels(labels_xy, xq, yq) & gt_valid[:, None]
+        )
+        in_centers = in_centers_of(xq, yq, rq)
+        pair_sim = pairwise_circle_similarity(
+            gt_centers, gt_radii, preds[:, 0:2], preds[:, 2:26],
+            reference_parity=config.reference_parity,
+        )
+        return in_poly, in_centers, pair_sim
+
+    a = poly_preds.shape[0]
+    r = config.simota.center_radius * strides
+    cap = config.simota.cand_cap
+    if cap and cap < a:
+        # Static-K candidate compaction (the reference's dynamic
+        # ``preds[fg_mask]`` gather, `losses.py:444-455`, made static).
+        # The exact candidate test — angle-sum point-in-polygon — is itself
+        # the expensive O(M·A·24) atan2 stage, so compaction keys off a
+        # cheap provable superset: candidates ⊆ padded-AABB ∪ centre box.
+        # The 350° angle-sum threshold (`losses.py:586-588`) admits points
+        # *outside* the polygon too (for spiky star shapes, far outside).
+        # Rigorous cover: an edge of length L subtends < L/d rad from any
+        # point at distance ≥ d, so the angle sum σ ≤ perimeter/d; σ ≥ 350°
+        # therefore forces d ≤ perimeter/6.108 — pad the AABB by exactly
+        # that (+2 px fp slop).  Fuzz-verified in tests/test_simota.py.
+        px, py = labels_xy[:, 2::2], labels_xy[:, 3::2]
+        bx0, bx1 = jnp.min(px, 1), jnp.max(px, 1)
+        by0, by1 = jnp.min(py, 1), jnp.max(py, 1)
+        ex = jnp.roll(px, -1, axis=1) - px
+        ey = jnp.roll(py, -1, axis=1) - py
+        perimeter = jnp.sum(jnp.sqrt(ex * ex + ey * ey), axis=1)
+        pad = perimeter / (350.0 * jnp.pi / 180.0) + 2.0
+        in_bbox = (
+            (x_c[None, :] >= (bx0 - pad)[:, None])
+            & (x_c[None, :] <= (bx1 + pad)[:, None])
+            & (y_c[None, :] >= (by0 - pad)[:, None])
+            & (y_c[None, :] <= (by1 + pad)[:, None])
+            & gt_valid[:, None]
+        )
+        superset = jnp.any(in_bbox, axis=0) | jnp.any(
+            in_centers_of(x_c, y_c, r), axis=0
+        )
+        idx, valid, _ = compact_candidates(superset, cap)
+        in_poly, in_centers, pair_sim = exact_masks_and_sim(
+            x_c[idx], y_c[idx], r[idx], poly_preds[idx]
+        )
+        in_poly &= valid[None, :]
+        in_centers &= valid[None, :]
+        fg_candidate = (
+            jnp.any(in_poly, axis=0) | jnp.any(in_centers, axis=0)
+        )
+        fg_k, matched_k, pred_iou_k, num_fg = _match_core_24p(
+            pair_sim, in_poly, in_centers,
+            jnp.broadcast_to(fg_candidate[None, :], pair_sim.shape),
+            obj_logits[idx], cls_logits[idx], gt_classes, gt_valid, config,
+        )
+        fg_mask, matched_gt, pred_iou = scatter_assignment(
+            idx, valid, a, fg_k, matched_k, pred_iou_k
+        )
+        return Assignment(
+            fg_mask=fg_mask,
+            matched_gt=matched_gt,
+            pred_iou=pred_iou,
+            num_fg=num_fg,
+            num_gt=jnp.sum(gt_valid).astype(jnp.float32),
+        )
+
+    in_poly, in_centers, pair_sim = exact_masks_and_sim(
+        x_c, y_c, r, poly_preds
+    )
     fg_candidate = jnp.any(in_poly, axis=0) | jnp.any(in_centers, axis=0)
+    return _match_24p(
+        pair_sim, in_poly, in_centers,
+        jnp.broadcast_to(fg_candidate[None, :], pair_sim.shape),
+        obj_logits, cls_logits, gt_classes, gt_valid, config,
+    )
+
+
+def _match_core_24p(
+    pair_sim, in_poly, in_centers, is_candidate,
+    obj_logits, cls_logits, gt_classes, gt_valid, config,
+):
+    """Cost assembly + dynamic-k match over whatever anchor axis the
+    inputs carry (full lattice or compacted candidates)."""
     in_both = in_poly & in_centers
     pair_sim = jnp.where(gt_valid[:, None], pair_sim, 0.0)
     sim_cost = -jnp.log(pair_sim + 1e-8)
-
     cls_cost = pairwise_cls_cost(
         cls_logits, obj_logits, gt_classes, config.num_classes
     )
-
-    is_candidate = jnp.broadcast_to(fg_candidate[None, :], pair_sim.shape)
     cost = (
         cls_cost
         + config.simota.iou_weight * sim_cost
@@ -154,9 +238,19 @@ def simota_assign_24p(
         + BIG_COST * (~is_candidate)
         + BIG_COST * (~gt_valid)[:, None]
     )
-
     _, fg_mask, matched_gt, pred_iou, num_fg = simota_match(
         cost, pair_sim, is_candidate, gt_valid, config.simota.max_k
+    )
+    return fg_mask, matched_gt, pred_iou, num_fg
+
+
+def _match_24p(
+    pair_sim, in_poly, in_centers, is_candidate,
+    obj_logits, cls_logits, gt_classes, gt_valid, config,
+):
+    fg_mask, matched_gt, pred_iou, num_fg = _match_core_24p(
+        pair_sim, in_poly, in_centers, is_candidate,
+        obj_logits, cls_logits, gt_classes, gt_valid, config,
     )
     return Assignment(
         fg_mask=fg_mask,

@@ -35,12 +35,61 @@ from .iou_loss import bce_with_logits
 BIG_COST = 1e6  # disqualifies non-candidate anchors / invalid GTs
 CENTER_RADIUS = 2.5
 MAX_K = 10
+CAND_CAP = 2048  # static capacity of the compacted candidate-anchor set
 
 
 class SimOTAConfig(NamedTuple):
     center_radius: float = CENTER_RADIUS
     max_k: int = MAX_K
     iou_weight: float = 3.0
+    # Static capacity for candidate-anchor compaction (the TPU equivalent
+    # of the reference's dynamic ``preds[fg_mask]`` gather,
+    # `yolo_head.py:470-482`): the expensive pairwise stages run on the
+    # first ``cand_cap`` candidate anchors instead of all A.  0 disables
+    # compaction (full-lattice path).
+    cand_cap: int = CAND_CAP
+
+
+def compact_candidates(mask, cap: int):
+    """Static-capacity compaction of a boolean anchor mask.
+
+    The reference gathers candidate anchors with a dynamic boolean index
+    (``bboxes_preds_per_image[fg_mask]``, `yolo_head.py:470-474`); under
+    XLA that becomes a cumsum-position scatter into a fixed ``cap``-slot
+    index buffer.  Anchor order is preserved; candidates beyond ``cap``
+    are dropped (reported via ``n_dropped`` so callers can surface it).
+
+    Args:
+      mask: [A] bool.
+    Returns:
+      (idx [cap] int32 — anchor index per slot (0 at unused slots),
+       valid [cap] bool — slot holds a real candidate,
+       n_dropped int32 scalar — candidates beyond capacity).
+    """
+    a = mask.shape[0]
+    pos = jnp.cumsum(mask) - 1  # [A] slot of each candidate, in order
+    slot = jnp.where(mask & (pos < cap), pos, cap)
+    idx = jnp.full((cap,), a, jnp.int32).at[slot].set(
+        jnp.arange(a, dtype=jnp.int32), mode="drop"
+    )
+    valid = idx < a
+    n_dropped = jnp.maximum(
+        jnp.sum(mask.astype(jnp.int32)) - cap, 0
+    )
+    return jnp.where(valid, idx, 0), valid, n_dropped
+
+
+def scatter_assignment(idx, valid, a: int, fg_k, matched_k, pred_iou_k):
+    """Scatter per-slot assignment results back to the full [A] lattice."""
+    safe = jnp.where(valid, idx, a)  # out-of-range slots are dropped
+    fg = jnp.zeros((a,), bool).at[safe].set(fg_k & valid, mode="drop")
+    matched = jnp.zeros((a,), jnp.int32).at[safe].set(
+        matched_k, mode="drop"
+    )
+    pred_iou = jnp.zeros((a,), jnp.float32).at[safe].set(
+        jnp.where(valid, pred_iou_k, 0.0), mode="drop"
+    )
+    return fg, matched, pred_iou
 
 
 class Assignment(NamedTuple):
@@ -213,28 +262,52 @@ def simota_assign(
         gt_boxes, gt_valid, grids, strides, config.center_radius
     )
     fg_candidate = jnp.any(in_boxes, axis=0) | jnp.any(in_centers, axis=0)  # [A]
-    in_both = in_boxes & in_centers
 
-    pair_iou = bboxes_iou(gt_boxes, bbox_preds, xyxy=False)
-    pair_iou = jnp.where(gt_valid[:, None], pair_iou, 0.0)
-    iou_cost = -jnp.log(pair_iou + 1e-8)
+    def assign_core(bbox_p, obj_l, cls_l, in_b, in_c, is_candidate):
+        """Cost + match over whatever anchor axis the inputs carry."""
+        in_both = in_b & in_c
+        pair_iou = bboxes_iou(gt_boxes, bbox_p, xyxy=False)
+        pair_iou = jnp.where(gt_valid[:, None], pair_iou, 0.0)
+        iou_cost = -jnp.log(pair_iou + 1e-8)
+        cls_cost = pairwise_cls_cost(cls_l, obj_l, gt_classes, num_classes)
+        cost = (
+            cls_cost
+            + config.iou_weight * iou_cost
+            + 100000.0 * (~in_both)
+            + BIG_COST * (~is_candidate)
+            + BIG_COST * (~gt_valid)[:, None]
+        )
+        return simota_match(
+            cost, pair_iou, is_candidate, gt_valid, config.max_k
+        )
 
-    cls_cost = pairwise_cls_cost(
-        cls_logits, obj_logits, gt_classes, num_classes
-    )
-
-    is_candidate = jnp.broadcast_to(fg_candidate[None, :], pair_iou.shape)
-    cost = (
-        cls_cost
-        + config.iou_weight * iou_cost
-        + 100000.0 * (~in_both)
-        + BIG_COST * (~is_candidate)
-        + BIG_COST * (~gt_valid)[:, None]
-    )
-
-    _, fg_mask, matched_gt, pred_iou, num_fg = simota_match(
-        cost, pair_iou, is_candidate, gt_valid, config.max_k
-    )
+    a = bbox_preds.shape[0]
+    cap = config.cand_cap
+    if cap and cap < a:
+        # Static-K candidate compaction: the expensive pairwise stages run
+        # only on candidate anchors — the reference's ``preds[fg_mask]``
+        # dynamic gather (`yolo_head.py:470-482`) made static.
+        idx, valid, _ = compact_candidates(fg_candidate, cap)
+        is_cand_k = jnp.broadcast_to(
+            valid[None, :], (gt_boxes.shape[0], cap)
+        )
+        _, fg_k, matched_k, pred_iou_k, num_fg = assign_core(
+            bbox_preds[idx], obj_logits[idx], cls_logits[idx],
+            in_boxes[:, idx] & valid[None, :],
+            in_centers[:, idx] & valid[None, :],
+            is_cand_k,
+        )
+        fg_mask, matched_gt, pred_iou = scatter_assignment(
+            idx, valid, a, fg_k, matched_k, pred_iou_k
+        )
+    else:
+        is_candidate = jnp.broadcast_to(
+            fg_candidate[None, :], (gt_boxes.shape[0], a)
+        )
+        _, fg_mask, matched_gt, pred_iou, num_fg = assign_core(
+            bbox_preds, obj_logits, cls_logits,
+            in_boxes, in_centers, is_candidate,
+        )
     return Assignment(
         fg_mask=fg_mask,
         matched_gt=matched_gt,

@@ -112,3 +112,32 @@ def test_bottleneck_shortcut():
         x,
     )
     np.testing.assert_allclose(ref, ours, rtol=RTOL, atol=ATOL)
+
+
+def test_maxpool_same_custom_vjp_matches_select_and_scatter():
+    """The fused max-pool backward must equal XLA's select_and_scatter
+    gradient (no ties in random fp32 input)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from eop_tpu.ops.blocks import _maxpool_same
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 9, 9, 7).astype(np.float32))
+    ct = jnp.asarray(rng.randn(2, 9, 9, 7).astype(np.float32))
+
+    for k in (3, 5, 9, 13):
+        pad = k // 2
+
+        def ref_pool(z):
+            return nn.max_pool(z, (k, k), strides=(1, 1),
+                               padding=[(pad, pad), (pad, pad)])
+
+        y, ref_vjp = jax.vjp(ref_pool, x)
+        y2, our_vjp = jax.vjp(lambda z: _maxpool_same(z, k), x)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+        np.testing.assert_allclose(
+            np.asarray(ref_vjp(ct)[0]), np.asarray(our_vjp(ct)[0]),
+            rtol=1e-6, atol=1e-6, err_msg=f"k={k}",
+        )

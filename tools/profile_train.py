@@ -1,0 +1,117 @@
+"""Profile the 24p train step on the attached device: step time, img/s,
+and a per-op device-time table (via the dependency-free xplane reader).
+
+Replaces the reference's `thop`+host-timer observability
+(`/root/reference/yolox_24p/train_24p.py:73-111` has no device profiling
+at all) with an XLA device trace breakdown — run:
+
+    python tools/profile_train.py --batch 32 --size 640 --top 25
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--trace-steps", type=int, default=3)
+    ap.add_argument("--logdir", default=None)
+    ap.add_argument("--depth", type=float, default=0.33)
+    ap.add_argument("--width", type=float, default=0.50)
+    ap.add_argument("--no-trace", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from eop_tpu.losses import Loss24PConfig
+    from eop_tpu.models import YOLOX
+    from eop_tpu.train.steps import create_train_state, make_train_step_24p
+    from eop_tpu.utils.profiler import trace
+    from eop_tpu.utils.xplane import device_op_table
+
+    model = YOLOX(
+        depth=args.depth, width=args.width, num_classes=80, reg_dim=26,
+        dtype=jnp.bfloat16,
+    )
+    tx = optax.sgd(0.01, momentum=0.9, nesterov=True)
+    rng = jax.random.PRNGKey(0)
+    B, S = args.batch, args.size
+    imgs = jax.random.uniform(rng, (B, S, S, 3), jnp.float32) * 255.0
+    # labels [B, 50, 51]: ~8 valid rows/img of plausible 24-gons
+    k1, k2, k3 = jax.random.split(rng, 3)
+    cx = jax.random.uniform(k1, (B, 50, 1), minval=100.0, maxval=S - 100.0)
+    cy = jax.random.uniform(k2, (B, 50, 1), minval=100.0, maxval=S - 100.0)
+    r = jax.random.uniform(k3, (B, 50, 24), minval=10.0, maxval=80.0)
+    theta = jnp.arange(24) * (2 * jnp.pi / 24)
+    px = cx + r * jnp.cos(theta)
+    py = cy + r * jnp.sin(theta)
+    pts = jnp.stack([px, py], -1).reshape(B, 50, 48)
+    cls = jnp.zeros((B, 50, 1))
+    labels = jnp.concatenate([cls, cx, cy, pts], -1)
+    labels = labels * (jnp.arange(50)[None, :, None] < 8)
+
+    state = create_train_state(
+        model, tx, rng, imgs[:1], use_ema=True, with_dwa=True
+    )
+    step = jax.jit(
+        make_train_step_24p(model, tx, Loss24PConfig(), ema_decay=0.9998),
+        donate_argnums=(0,),
+    )
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, imgs, labels, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics["total_loss"])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+
+    # timed run: enqueue N, fetch last (tunnel-safe sync, see bench.py)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, imgs, labels, jax.random.PRNGKey(i))
+    float(metrics["total_loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+    print(f"train step: {dt * 1e3:.2f} ms  ({B / dt:.1f} img/s)  "
+          f"B={B} @{S}px")
+
+    if args.no_trace:
+        return
+    logdir = args.logdir or tempfile.mkdtemp(prefix="eop_trace_")
+    with trace(logdir):
+        for i in range(args.trace_steps):
+            state, metrics = step(state, imgs, labels, jax.random.PRNGKey(i))
+        float(metrics["total_loss"])
+    print(f"trace in {logdir}")
+    for title, by_cat in (("by category", True), ("top ops", False)):
+        print(f"--- device time {title} "
+              f"(sum over {args.trace_steps} steps) ---")
+        try:
+            rows = device_op_table(
+                logdir, top=args.top, by_category=by_cat)
+        except FileNotFoundError as e:
+            print(f"  no device plane: {e}")
+            break
+        for op, ms in rows:
+            print(f"{ms:10.3f} ms  {op}")
+
+
+if __name__ == "__main__":
+    main()
