@@ -87,6 +87,9 @@ class Loss24PAux(NamedTuple):
     reg_w: jnp.ndarray          # [24] DWA weights
     obj_w: jnp.ndarray
     cls_w: jnp.ndarray
+    # total candidate anchors shed by capacity compaction this step
+    # (0 ⇒ assignment bit-exact vs the full lattice)
+    cand_dropped: jnp.ndarray = None
 
 
 def simota_assign_24p(
@@ -180,10 +183,13 @@ def simota_assign_24p(
             & (y_c[None, :] <= (by1 + pad)[:, None])
             & gt_valid[:, None]
         )
-        superset = jnp.any(in_bbox, axis=0) | jnp.any(
+        # Centre-box anchors rank first (SimOTA's 100000 non-in_both
+        # penalty means matches come from them), so capacity overflow
+        # sheds only the padded-AABB tail.
+        score = 2 * jnp.any(
             in_centers_of(x_c, y_c, r), axis=0
-        )
-        idx, valid, _ = compact_candidates(superset, cap)
+        ).astype(jnp.int32) + jnp.any(in_bbox, axis=0).astype(jnp.int32)
+        idx, valid, num_dropped = compact_candidates(score, cap)
         in_poly, in_centers, pair_sim = exact_masks_and_sim(
             x_c[idx], y_c[idx], r[idx], poly_preds[idx]
         )
@@ -206,6 +212,7 @@ def simota_assign_24p(
             pred_iou=pred_iou,
             num_fg=num_fg,
             num_gt=jnp.sum(gt_valid).astype(jnp.float32),
+            num_dropped=num_dropped,
         )
 
     in_poly, in_centers, pair_sim = exact_masks_and_sim(
@@ -258,6 +265,7 @@ def _match_24p(
         pred_iou=pred_iou,
         num_fg=num_fg,
         num_gt=jnp.sum(gt_valid).astype(jnp.float32),
+        num_dropped=jnp.zeros((), jnp.int32),
     )
 
 
@@ -384,5 +392,6 @@ def loss_24p(
         reg_w=reg_w,
         obj_w=obj_w,
         cls_w=cls_w,
+        cand_dropped=jnp.sum(assign.num_dropped),
     )
     return total, aux, new_dwa

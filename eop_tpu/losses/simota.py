@@ -50,31 +50,34 @@ class SimOTAConfig(NamedTuple):
     cand_cap: int = CAND_CAP
 
 
-def compact_candidates(mask, cap: int):
-    """Static-capacity compaction of a boolean anchor mask.
+def compact_candidates(score, cap: int):
+    """Static-capacity compaction of a scored anchor-candidate set.
 
     The reference gathers candidate anchors with a dynamic boolean index
     (``bboxes_preds_per_image[fg_mask]``, `yolo_head.py:470-474`); under
-    XLA that becomes a cumsum-position scatter into a fixed ``cap``-slot
-    index buffer.  Anchor order is preserved; candidates beyond ``cap``
-    are dropped (reported via ``n_dropped`` so callers can surface it).
+    XLA that becomes a fixed ``cap``-slot top-k.  ``score`` ranks which
+    candidates survive when the set overflows the capacity: SimOTA's
+    100000-cost penalty on non-``in_both`` anchors means matches come
+    almost exclusively from centre-box anchors, so callers score those
+    highest and overflow only ever sheds the low-priority tail (reported
+    via ``n_dropped`` so trainers can surface it — no silent cap).
 
     Args:
-      mask: [A] bool.
+      score: [A] int32/float — 0 = not a candidate, higher = keep first;
+        ties keep the lower anchor index (fine-stride first).
     Returns:
       (idx [cap] int32 — anchor index per slot (0 at unused slots),
        valid [cap] bool — slot holds a real candidate,
        n_dropped int32 scalar — candidates beyond capacity).
     """
-    a = mask.shape[0]
-    pos = jnp.cumsum(mask) - 1  # [A] slot of each candidate, in order
-    slot = jnp.where(mask & (pos < cap), pos, cap)
-    idx = jnp.full((cap,), a, jnp.int32).at[slot].set(
-        jnp.arange(a, dtype=jnp.int32), mode="drop"
-    )
-    valid = idx < a
+    a = score.shape[0]
+    score = score.astype(jnp.int32)
+    # descending score, ascending anchor index within a score class
+    key = score * (a + 1) - jnp.arange(a, dtype=jnp.int32)
+    vals, idx = jax.lax.top_k(key, cap)
+    valid = vals > 0  # score >= 1 ⇒ key >= (a+1) - a = 1
     n_dropped = jnp.maximum(
-        jnp.sum(mask.astype(jnp.int32)) - cap, 0
+        jnp.sum((score > 0).astype(jnp.int32)) - cap, 0
     )
     return jnp.where(valid, idx, 0), valid, n_dropped
 
@@ -100,6 +103,10 @@ class Assignment(NamedTuple):
     pred_iou: jnp.ndarray       # f32 [A], matched IoU (0 where ~fg)
     num_fg: jnp.ndarray         # f32 scalar
     num_gt: jnp.ndarray         # f32 scalar
+    # candidates shed by static-capacity compaction (0 ⇒ bit-exact vs the
+    # full lattice; >0 ⇒ low-priority candidates were dropped).  None only
+    # in legacy constructions that never compact.
+    num_dropped: jnp.ndarray = None
 
 
 def in_boxes_info(gt_boxes, gt_valid, grids, strides, center_radius):
@@ -283,11 +290,19 @@ def simota_assign(
 
     a = bbox_preds.shape[0]
     cap = config.cand_cap
+    num_dropped = jnp.zeros((), jnp.int32)
     if cap and cap < a:
         # Static-K candidate compaction: the expensive pairwise stages run
         # only on candidate anchors — the reference's ``preds[fg_mask]``
-        # dynamic gather (`yolo_head.py:470-482`) made static.
-        idx, valid, _ = compact_candidates(fg_candidate, cap)
+        # dynamic gather (`yolo_head.py:470-482`) made static.  Centre-box
+        # anchors rank first: SimOTA's 100000 non-in_both penalty means
+        # they are where matches come from, so overflow sheds only the
+        # in-box-only tail.
+        score = (
+            2 * jnp.any(in_centers, axis=0).astype(jnp.int32)
+            + jnp.any(in_boxes, axis=0).astype(jnp.int32)
+        )
+        idx, valid, num_dropped = compact_candidates(score, cap)
         is_cand_k = jnp.broadcast_to(
             valid[None, :], (gt_boxes.shape[0], cap)
         )
@@ -314,4 +329,5 @@ def simota_assign(
         pred_iou=pred_iou,
         num_fg=num_fg,
         num_gt=jnp.sum(gt_valid).astype(jnp.float32),
+        num_dropped=num_dropped,
     )

@@ -34,6 +34,8 @@ class YoloxLossAux(NamedTuple):
     loss_cls: jnp.ndarray
     loss_l1: jnp.ndarray
     num_fg_per_gt: jnp.ndarray  # ref "proportion" metric num_fg / num_gts
+    # candidate anchors shed by capacity compaction (0 = bit-exact)
+    cand_dropped: jnp.ndarray = None
 
 
 def _l1_target(gt_boxes, grids, strides, eps=1e-8):
@@ -131,5 +133,6 @@ def yolox_losses(
         loss_cls=loss_cls,
         loss_l1=loss_l1,
         num_fg_per_gt=num_fg / num_gts,
+        cand_dropped=jnp.sum(assign.num_dropped),
     )
     return total, aux

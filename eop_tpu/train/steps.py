@@ -126,6 +126,7 @@ def make_train_step_bbox(
             "cls_loss": aux.loss_cls,
             "l1_loss": aux.loss_l1,
             "num_fg": aux.num_fg_per_gt,
+            "cand_dropped": aux.cand_dropped,
         }
         return new_state, metrics
 
@@ -187,6 +188,7 @@ def make_train_step_24p(
             "cls_loss": aux.loss_cls,
             "l1_loss": aux.loss_l1,
             "num_fg": aux.num_fg_per_gt,
+            "cand_dropped": aux.cand_dropped,
             # the reference's per-step observability: 24 per-radius IoU
             # losses + the 26 DWA weights (train_24p.py:115-137)
             "iou_losses_24": aux.loss_iou,

@@ -119,7 +119,8 @@ def test_matched_anchor_uniqueness():
 
 
 def _synth_24p_scene(rng, a_hw=((32, 32), (16, 16), (8, 8)),
-                     strides=(8, 16, 32), img=256, m=50, ngt=12):
+                     strides=(8, 16, 32), img=256, m=50, ngt=12,
+                     r_lo=4, r_hi=60):
     """Random padded 24p labels + decoded predictions on a real grid."""
     from eop_tpu.models import make_grids_and_strides
 
@@ -129,7 +130,7 @@ def _synth_24p_scene(rng, a_hw=((32, 32), (16, 16), (8, 8)),
     ang = np.arange(24) * 15.0 * np.pi / 180.0
     for g in range(ngt):
         cx, cy = rng.uniform(20, img - 20, 2)
-        r = rng.uniform(4, 60, 24)
+        r = rng.uniform(r_lo, r_hi, 24)
         labels[g, 0] = rng.randint(0, 8)
         labels[g, 1:3] = (cx, cy)
         labels[g, 3::2] = cx + r * np.cos(ang)
@@ -148,25 +149,32 @@ def _synth_24p_scene(rng, a_hw=((32, 32), (16, 16), (8, 8)),
 
 def test_candidate_compaction_matches_full_lattice_24p():
     """cand_cap compaction must reproduce the full-lattice assignment
-    exactly whenever the candidate count fits the capacity."""
+    exactly whenever the candidate count fits the capacity.  cand_cap is
+    set below A so the pruned path actually engages (num_dropped == 0 is
+    asserted to prove the capacity held)."""
     from eop_tpu.losses.loss_24p import Loss24PConfig, simota_assign_24p
+    from eop_tpu.losses.simota import SimOTAConfig
 
     rng = np.random.RandomState(7)
     for trial in range(3):
-        labels, preds, obj, cls, grids, strides = _synth_24p_scene(rng)
+        labels, preds, obj, cls, grids, strides = _synth_24p_scene(
+            rng, ngt=5, r_lo=4, r_hi=22
+        )
+        assert grids.shape[0] > 1024  # cap < A ⇒ compaction engaged
         labels_xy = jnp.asarray(labels[:, 1:])
         gt_classes = jnp.asarray(labels[:, 0])
         gt_valid = jnp.asarray(labels.sum(1) > 0)
         args = (labels_xy, gt_classes, gt_valid, jnp.asarray(preds),
                 jnp.asarray(obj), jnp.asarray(cls), grids, strides)
         full = simota_assign_24p(
-            *args, Loss24PConfig(num_classes=8, simota=__import__(
-                "eop_tpu.losses.simota", fromlist=["SimOTAConfig"]
-            ).SimOTAConfig(cand_cap=0)),
+            *args,
+            Loss24PConfig(num_classes=8, simota=SimOTAConfig(cand_cap=0)),
         )
         pruned = simota_assign_24p(
-            *args, Loss24PConfig(num_classes=8),
+            *args,
+            Loss24PConfig(num_classes=8, simota=SimOTAConfig(cand_cap=1024)),
         )
+        assert int(pruned.num_dropped) == 0, trial  # capacity held
         np.testing.assert_array_equal(
             np.asarray(full.fg_mask), np.asarray(pruned.fg_mask), trial
         )
@@ -180,6 +188,43 @@ def test_candidate_compaction_matches_full_lattice_24p():
         )
         assert float(full.num_fg) == float(pruned.num_fg)
         assert float(full.num_fg) > 0  # scene actually matches something
+
+
+def test_candidate_compaction_overflow_keeps_center_anchors_24p():
+    """When the superset overflows cand_cap, centre-box anchors (where
+    SimOTA matches actually come from) must survive the shed."""
+    from eop_tpu.losses.loss_24p import Loss24PConfig, simota_assign_24p
+    from eop_tpu.losses.simota import SimOTAConfig
+
+    rng = np.random.RandomState(5)
+    labels, preds, obj, cls, grids, strides = _synth_24p_scene(
+        rng, ngt=12, r_lo=30, r_hi=110
+    )
+    labels_xy = jnp.asarray(labels[:, 1:])
+    gt_classes = jnp.asarray(labels[:, 0])
+    gt_valid = jnp.asarray(labels.sum(1) > 0)
+    args = (labels_xy, gt_classes, gt_valid, jnp.asarray(preds),
+            jnp.asarray(obj), jnp.asarray(cls), grids, strides)
+    tiny = simota_assign_24p(
+        *args,
+        Loss24PConfig(num_classes=8, simota=SimOTAConfig(cand_cap=256)),
+    )
+    assert int(tiny.num_dropped) > 0  # capacity genuinely overflowed
+    # every valid GT still gets matched (dynamic-k >= 1 per GT)
+    assert float(tiny.num_fg) >= float(jnp.sum(gt_valid))
+
+    # priority property of the compaction itself: when the score-2 class
+    # (centre-box anchors) fits the capacity, none of them are shed
+    from eop_tpu.losses.simota import compact_candidates
+
+    rng2 = np.random.RandomState(0)
+    score = rng2.choice([0, 1, 2], size=2000, p=[0.5, 0.4, 0.1])
+    cap = 300
+    assert (score == 2).sum() <= cap < (score > 0).sum()
+    idx, valid, dropped = compact_candidates(jnp.asarray(score), cap)
+    kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert set(np.flatnonzero(score == 2).tolist()) <= kept
+    assert int(dropped) == int((score > 0).sum()) - cap
 
 
 def test_candidate_compaction_matches_full_lattice_bbox():
