@@ -54,11 +54,6 @@ class Loss24PConfig(NamedTuple):
     use_l1: bool = False
     dwa_temperature: float = 20.0
     reference_parity: bool = False  # replicate the GIoU-as-IoU SimOTA stat
-    # Route the SimOTA geometry (circle GIoU + point-in-polygon + centre
-    # test) through the fused Pallas kernel.  Off by default: XLA's fusion
-    # of the jnp formulation measures faster on v5e (see
-    # ops/pallas/simota24p.py); the kernel stays available and tested.
-    use_pallas: bool = False
     simota: SimOTAConfig = SimOTAConfig()
 
 
@@ -109,28 +104,6 @@ def simota_assign_24p(
 
     gt_centers = labels_xy[:, 0:2]
     gt_radii = radii_from_points(labels_xy)
-
-    if config.use_pallas:
-        from ..ops.pallas import simota_geometry_24p
-
-        pair_loss, in_poly, in_centers = simota_geometry_24p(
-            gt_centers, gt_radii, labels_xy[:, 2::2], labels_xy[:, 3::2],
-            poly_preds, x_c, y_c, strides,
-            center_radius=config.simota.center_radius,
-        )
-        in_poly = in_poly & gt_valid[:, None]
-        in_centers = in_centers & gt_valid[:, None]
-        pair_sim = (
-            pair_loss if config.reference_parity else 1.0 - pair_loss
-        )
-        fg_candidate = (
-            jnp.any(in_poly, axis=0) | jnp.any(in_centers, axis=0)
-        )
-        return _match_24p(
-            pair_sim, in_poly, in_centers,
-            jnp.broadcast_to(fg_candidate[None, :], pair_sim.shape),
-            obj_logits, cls_logits, gt_classes, gt_valid, config,
-        )
 
     def in_centers_of(xq, yq, rq):
         cx, cy = labels_xy[:, 0], labels_xy[:, 1]
