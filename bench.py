@@ -1,15 +1,24 @@
-"""Benchmark: end-to-end 640px inference throughput on one TPU chip.
+"""Benchmark: 640 px throughput on one TPU chip — inference (24p-s and
+YOLOX-L) and the full 24p train step.
 
-Measures the deployment path of the 24-point fisheye detector (the
+Headline metric: the deployment path of the 24-point fisheye detector (the
 reference's primary model, s-scale: depth 0.33 / width 0.50 —
 `yolox_24p/load_train/yolox_24p_train.py:12-13`): jitted forward (bf16
 compute) → grid decode → polygon→rect NMS, one device, batch 128.
+
+Extras (same JSON line, `extra` object):
+* ``inference_yoloxl_640px`` — the feature-map study's flagship (depth /
+  width 1.0, `yolox/exp/yolox_base.py:19-28`), forward + decode + bbox NMS,
+  with model-FLOPs MFU vs the v5e bf16 peak.
+* ``train_step_24p_640px_b32`` — fwd + SimOTA + circle-GIoU/DWA loss +
+  backward + SGD + EMA, one jitted program (B=32, 8 GTs/img).
 
 Methodology note: the driver's TPU is reached through a tunnel where
 ``block_until_ready`` does not actually block — only a host fetch
 synchronizes.  We therefore enqueue N batches, fetch one scalar reduced
 from the last batch's detections (the device queue is FIFO, so this drains
-all N), and subtract a separately-measured tunnel round-trip.
+all N), subtract a separately-measured tunnel round-trip, and report the
+best of 2 passes (the tunnel adds occasional multi-second noise spikes).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md); the
 driver north star is ≥2,000 img/s/chip at 640 px, so ``vs_baseline`` is
@@ -23,15 +32,10 @@ from __future__ import annotations
 import json
 import time
 
-import jax
-import jax.numpy as jnp
-
-BATCH = 128
-ITERS = 20
-TARGET = 2000.0  # img/s/chip north star
+V5E_BF16_PEAK = 197e12  # FLOP/s
 
 
-def _measure_rtt(x) -> float:
+def _measure_rtt(jnp, jax, x) -> float:
     f = jax.jit(lambda a: jnp.sum(a))
     float(f(x))
     t0 = time.perf_counter()
@@ -41,9 +45,24 @@ def _measure_rtt(x) -> float:
     return (time.perf_counter() - t0) / n
 
 
+def _drain_time(run, fetch, iters: int, rtt: float, passes: int = 2) -> float:
+    """Best-of-``passes`` per-call time via the queue-drain method."""
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = run()
+        fetch(out)
+        best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+    return best
+
+
 def main():
-    # persist compiles so repeat driver runs skip the ~60 s warm-up
     import os
+
+    import jax
+    import jax.numpy as jnp
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
@@ -53,22 +72,27 @@ def main():
     except Exception:
         pass
 
-    from eop_tpu.eval import postprocess_24p
-    from eop_tpu.models import YOLOX, inference_outputs
+    import optax
 
-    model = YOLOX(
-        depth=0.33, width=0.50, num_classes=80, reg_dim=26,
-        dtype=jnp.bfloat16,
-    )
+    from eop_tpu.eval import postprocess_24p, postprocess_bbox
+    from eop_tpu.losses import Loss24PConfig
+    from eop_tpu.models import YOLOX, inference_outputs, init_model
+    from eop_tpu.train.steps import create_train_state, make_train_step_24p
+
     rng = jax.random.PRNGKey(0)
-    x = jax.random.uniform(rng, (BATCH, 640, 640, 3), jnp.float32) * 255.0
-    from eop_tpu.models import init_model
+    rtt = _measure_rtt(jnp, jax, jnp.zeros((8, 8)))
+    extra = {}
 
-    variables = init_model(model, rng, x[:1])
+    # --- headline: 24p-s e2e inference, B=128 ---
+    B = 128
+    model_s = YOLOX(depth=0.33, width=0.50, num_classes=80, reg_dim=26,
+                    dtype=jnp.bfloat16)
+    x = jax.random.uniform(rng, (B, 640, 640, 3), jnp.float32) * 255.0
+    vars_s = init_model(model_s, rng, x[:1])
 
     @jax.jit
-    def infer(v, imgs):
-        head_outs, _ = model.apply(v, imgs.astype(jnp.bfloat16), False)
+    def infer_s(v, imgs):
+        head_outs, _ = model_s.apply(v, imgs.astype(jnp.bfloat16), False)
         decoded = inference_outputs(head_outs, reg_dim=26)
         det = postprocess_24p(
             decoded.astype(jnp.float32), num_classes=80,
@@ -76,22 +100,94 @@ def main():
         )
         return jnp.sum(det.rows)  # scalar handle for the sync fetch
 
-    rtt = _measure_rtt(jnp.zeros((8, 8)))
-    float(infer(variables, x))  # compile + warm
+    float(infer_s(vars_s, x))  # compile + warm
+    t_s = _drain_time(lambda: infer_s(vars_s, x), float, 20, rtt)
+    img_s = B / t_s
 
-    t0 = time.perf_counter()
-    outs = [infer(variables, x) for _ in range(ITERS)]
-    float(outs[-1])  # drains the FIFO queue
-    per_batch = (time.perf_counter() - t0 - rtt) / ITERS
+    # --- extra: YOLOX-L e2e inference (flagship), B=64 ---
+    BL = 64
+    model_l = YOLOX(depth=1.0, width=1.0, num_classes=80, reg_dim=4,
+                    dtype=jnp.bfloat16)
+    xl = jax.random.uniform(rng, (BL, 640, 640, 3), jnp.float32) * 255.0
+    vars_l = init_model(model_l, rng, xl[:1])
 
-    img_per_sec = BATCH / per_batch
+    @jax.jit
+    def infer_l(v, imgs):
+        head_outs, _ = model_l.apply(v, imgs.astype(jnp.bfloat16), False)
+        decoded = inference_outputs(head_outs, reg_dim=4)
+        det = postprocess_bbox(
+            decoded.astype(jnp.float32), num_classes=80,
+            conf_thre=0.01, nms_thre=0.65,
+        )
+        return jnp.sum(det.rows)
+
+    float(infer_l(vars_l, xl))
+    t_l = _drain_time(lambda: infer_l(vars_l, xl), float, 10, rtt)
+    img_l = BL / t_l
+    # model-FLOPs MFU (XLA cost analysis counts fused fwd FLOPs; thop-style
+    # MACs×2 — here we keep XLA's flops directly, batch-1 forward only)
+    lowered = jax.jit(
+        lambda v, i: model_l.apply(v, i.astype(jnp.bfloat16), False)
+    ).lower(vars_l, xl[:1])
+    try:
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_l = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_l = 0.0
+    extra["inference_yoloxl_640px"] = {
+        "value": round(img_l, 1), "unit": "img/s/chip",
+        "model_gflops_fwd": round(flops_l / 1e9, 1),
+        "mfu": round(img_l * flops_l / V5E_BF16_PEAK, 3),
+    }
+
+    # --- extra: 24p train step, B=32 ---
+    BT = 32
+    xt = jax.random.uniform(rng, (BT, 640, 640, 3), jnp.float32) * 255.0
+    k1, k2, k3 = jax.random.split(rng, 3)
+    cx = jax.random.uniform(k1, (BT, 50, 1), minval=100.0, maxval=540.0)
+    cy = jax.random.uniform(k2, (BT, 50, 1), minval=100.0, maxval=540.0)
+    r = jax.random.uniform(k3, (BT, 50, 24), minval=10.0, maxval=80.0)
+    theta = jnp.arange(24) * (2 * jnp.pi / 24)
+    pts = jnp.stack(
+        [cx + r * jnp.cos(theta), cy + r * jnp.sin(theta)], -1
+    ).reshape(BT, 50, 48)
+    labels = jnp.concatenate([jnp.zeros((BT, 50, 1)), cx, cy, pts], -1)
+    labels = labels * (jnp.arange(50)[None, :, None] < 8)
+
+    tx = optax.sgd(0.01, momentum=0.9, nesterov=True)
+    state = create_train_state(
+        model_s, tx, rng, xt[:1], use_ema=True, with_dwa=True
+    )
+    step = jax.jit(
+        make_train_step_24p(model_s, tx, Loss24PConfig(), ema_decay=0.9998),
+        donate_argnums=(0,),
+    )
+    key = jax.random.PRNGKey(1)
+
+    state_box = [state]
+
+    def run_step():
+        s, m = step(state_box[0], xt, labels, key)
+        state_box[0] = s
+        return m["total_loss"]
+
+    float(run_step())  # compile + warm
+    t_t = _drain_time(run_step, float, 15, rtt)
+    extra["train_step_24p_640px_b32"] = {
+        "value": round(t_t * 1e3, 2), "unit": "ms/step",
+        "img_per_sec": round(BT / t_t, 1),
+    }
+
     print(
         json.dumps(
             {
                 "metric": "inference_throughput_640px_24p_s",
-                "value": round(img_per_sec, 1),
+                "value": round(img_s, 1),
                 "unit": "img/s/chip",
-                "vs_baseline": round(img_per_sec / TARGET, 3),
+                "vs_baseline": round(img_s / 2000.0, 3),
+                "extra": extra,
             }
         )
     )
