@@ -48,7 +48,25 @@ def batch_sharded(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
-    """Place host arrays onto the mesh, sharded along their leading axis."""
+    """Place host arrays onto the mesh, sharded along their leading axis.
+
+    Single process: a plain sharded ``device_put``.  Multi-host: each
+    process holds only its *local* batch (the per-rank loader split, ref
+    `yolox/exp/yolox_base.py:143-144`), so the local arrays are stitched
+    into one global array along the data axis — ``device_put`` with a
+    global sharding would instead misread each local batch as the full
+    global array.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        spec = P(axis_name)
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, spec
+            ),
+            batch,
+        )
     sharding = batch_sharded(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 

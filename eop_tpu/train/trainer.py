@@ -31,6 +31,7 @@ import numpy as np
 from ..losses import YoloxLossConfig
 from ..parallel.mesh import (
     batch_sharded,
+    shard_batch,
     make_mesh,
     replicated,
     shard_train_step,
@@ -225,8 +226,10 @@ class Trainer:
 
             step_fn = self._get_step()
             with self.mesh:
-                imgs = jax.device_put(imgs, self.batch_sharding)
-                labels = jax.device_put(labels, self.batch_sharding)
+                # multi-host aware: local batches stitch into the global
+                # array (see parallel.mesh.shard_batch)
+                sb = shard_batch(self.mesh, {"i": imgs, "l": labels})
+                imgs, labels = sb["i"], sb["l"]
                 self.state, metrics = step_fn(
                     self.state, imgs, labels,
                     jax.random.PRNGKey(self.progress_in_iter),

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..losses import Loss24PConfig
-from ..parallel.mesh import batch_sharded, make_mesh, shard_train_step
+from ..parallel.mesh import make_mesh, shard_batch, shard_train_step
 from ..utils.logger import logger, setup_logger
 from .checkpoint import load_checkpoint, load_ckpt_partial, save_checkpoint
 from .steps import create_train_state, make_train_step_24p
@@ -90,7 +90,6 @@ class Trainer24P:
         state = self._maybe_resume(state)
 
         mesh = make_mesh()
-        sharding = batch_sharded(mesh)
         steps = {}
 
         def get_step(use_l1: bool):
@@ -126,13 +125,14 @@ class Trainer24P:
             epoch_start = time.time()
             for i in range(self.iters_per_epoch):
                 imgs, labels, _, _ = next(it)
-                imgs = jnp.asarray(np.ascontiguousarray(imgs, np.float32))
-                labels = jnp.asarray(
-                    np.ascontiguousarray(labels, np.float32)
-                )
                 with mesh:
-                    imgs = jax.device_put(imgs, sharding)
-                    labels = jax.device_put(labels, sharding)
+                    # multi-host aware: local batches stitch into the
+                    # global array (see parallel.mesh.shard_batch)
+                    sb = shard_batch(mesh, {
+                        "imgs": np.ascontiguousarray(imgs, np.float32),
+                        "labels": np.ascontiguousarray(labels, np.float32),
+                    })
+                    imgs, labels = sb["imgs"], sb["labels"]
                     state, metrics = step_fn(
                         state, imgs, labels, jax.random.PRNGKey(global_step)
                     )
