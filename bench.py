@@ -93,9 +93,10 @@ def main():
     @jax.jit
     def infer_s(v, imgs):
         head_outs, _ = model_s.apply(v, imgs.astype(jnp.bfloat16), False)
-        decoded = inference_outputs(head_outs, reg_dim=26)
+        decoded = inference_outputs(head_outs, reg_dim=26,
+                                    out_dtype=jnp.float32)
         det = postprocess_24p(
-            decoded.astype(jnp.float32), num_classes=80,
+            decoded, num_classes=80,
             conf_thre=0.01, nms_thre=0.3,
         )
         return jnp.sum(det.rows)  # scalar handle for the sync fetch
@@ -114,9 +115,10 @@ def main():
     @jax.jit
     def infer_l(v, imgs):
         head_outs, _ = model_l.apply(v, imgs.astype(jnp.bfloat16), False)
-        decoded = inference_outputs(head_outs, reg_dim=4)
+        decoded = inference_outputs(head_outs, reg_dim=4,
+                                    out_dtype=jnp.float32)
         det = postprocess_bbox(
-            decoded.astype(jnp.float32), num_classes=80,
+            decoded, num_classes=80,
             conf_thre=0.01, nms_thre=0.65,
         )
         return jnp.sum(det.rows)

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import os
 import warnings
-from typing import Optional
 
 import cv2
 import numpy as np

@@ -21,7 +21,6 @@ from __future__ import annotations
 import copy
 import itertools
 import json
-import time
 from collections import defaultdict
 from typing import Dict, List
 

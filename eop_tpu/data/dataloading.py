@@ -17,8 +17,6 @@ exception propagation, and per-worker reseeding.
 from __future__ import annotations
 
 import multiprocessing as mp
-import os
-import queue
 import random
 import traceback
 import uuid

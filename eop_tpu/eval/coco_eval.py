@@ -15,7 +15,7 @@ import copy
 import datetime
 import time
 from collections import defaultdict
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -21,7 +21,6 @@ import contextlib
 import io
 import itertools
 import json
-import tempfile
 import time
 from typing import Callable, List, Optional
 

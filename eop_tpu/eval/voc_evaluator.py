@@ -11,7 +11,6 @@ buckets rows per class as ``all_boxes[class][image]`` arrays of
 from __future__ import annotations
 
 import time
-from collections import defaultdict
 from typing import Callable
 
 import numpy as np

@@ -13,7 +13,6 @@ import os
 import random
 from typing import Optional
 
-import numpy as np
 
 from .base_exp import BaseExp
 
@@ -223,9 +222,10 @@ class Exp24P(BaseExp):
             from ..eval.postprocess import postprocess_24p
             from ..models import inference_outputs
 
-            decoded = inference_outputs(head_outs, reg_dim=26)
+            decoded = inference_outputs(head_outs, reg_dim=26,
+                                        out_dtype=jax.numpy.float32)
             return postprocess_24p(
-                decoded.astype(jax.numpy.float32),
+                decoded,
                 num_classes=self.num_classes,
                 conf_thre=self.test_conf,
                 nms_thre=self.nmsthre,
@@ -258,9 +258,10 @@ class Exp24P(BaseExp):
             # accept uint8 inputs: transfer 4x less and cast on device
             imgs = imgs.astype(jax.numpy.float32)
             head_outs, _ = model.apply(variables, imgs, False)
-            decoded = inference_outputs(head_outs, reg_dim=26)
+            decoded = inference_outputs(head_outs, reg_dim=26,
+                                        out_dtype=jax.numpy.float32)
             return postprocess_24p(
-                decoded.astype(jax.numpy.float32),
+                decoded,
                 num_classes=self.num_classes,
                 conf_thre=self.test_conf,
                 nms_thre=self.nmsthre,

@@ -291,9 +291,10 @@ class Exp(BaseExp):
             # accept uint8 inputs: transfer 4x less and cast on device
             imgs = imgs.astype(jax.numpy.float32)
             head_outs, _ = model.apply(variables, imgs, False)
-            decoded = inference_outputs(head_outs)
+            decoded = inference_outputs(head_outs,
+                                        out_dtype=jax.numpy.float32)
             return postprocess_bbox(
-                decoded.astype(jax.numpy.float32),
+                decoded,
                 num_classes=self.num_classes,
                 conf_thre=self.test_conf,
                 nms_thre=self.nmsthre,
@@ -314,8 +315,9 @@ class Exp(BaseExp):
 
             imgs = imgs.astype(jax.numpy.float32)
             head_outs, _ = model.apply(variables, imgs, False)
-            decoded = inference_outputs(head_outs)
-            return decoded.astype(jax.numpy.float32).sum()
+            decoded = inference_outputs(head_outs,
+                                        out_dtype=jax.numpy.float32)
+            return decoded.sum()
 
         return decode_only
 
@@ -338,9 +340,10 @@ class Exp(BaseExp):
             from ..eval.postprocess import postprocess_bbox
             from ..models import inference_outputs
 
-            decoded = inference_outputs(head_outs)
+            decoded = inference_outputs(head_outs,
+                                        out_dtype=jax.numpy.float32)
             return postprocess_bbox(
-                decoded.astype(jax.numpy.float32),
+                decoded,
                 num_classes=self.num_classes,
                 conf_thre=self.test_conf,
                 nms_thre=self.nmsthre,

@@ -8,7 +8,6 @@ Pure jnp; reductions are left to the caller (masked sums in the train step).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.boxes import bboxes_iou
-from .iou_loss import bce_with_logits
 
 BIG_COST = 1e6  # disqualifies non-candidate anchors / invalid GTs
 CENTER_RADIUS = 2.5

