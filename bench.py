@@ -145,18 +145,10 @@ def main():
     }
 
     # --- extra: 24p train step, B=32 ---
+    from eop_tpu.utils.synth import synthetic_24p_batch
+
     BT = 32
-    xt = jax.random.uniform(rng, (BT, 640, 640, 3), jnp.float32) * 255.0
-    k1, k2, k3 = jax.random.split(rng, 3)
-    cx = jax.random.uniform(k1, (BT, 50, 1), minval=100.0, maxval=540.0)
-    cy = jax.random.uniform(k2, (BT, 50, 1), minval=100.0, maxval=540.0)
-    r = jax.random.uniform(k3, (BT, 50, 24), minval=10.0, maxval=80.0)
-    theta = jnp.arange(24) * (2 * jnp.pi / 24)
-    pts = jnp.stack(
-        [cx + r * jnp.cos(theta), cy + r * jnp.sin(theta)], -1
-    ).reshape(BT, 50, 48)
-    labels = jnp.concatenate([jnp.zeros((BT, 50, 1)), cx, cy, pts], -1)
-    labels = labels * (jnp.arange(50)[None, :, None] < 8)
+    xt, labels = synthetic_24p_batch(rng, BT, 640, ngt=8)
 
     tx = optax.sgd(0.01, momentum=0.9, nesterov=True)
     state = create_train_state(

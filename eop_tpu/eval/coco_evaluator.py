@@ -120,13 +120,16 @@ class COCOEvaluator:
         data_list: List[dict] = []
         inference_time = 0.0
         n_batches = 0
-        last_imgs = None
+        est_imgs = None  # first (full-sized) batch; drop_last=False can
+        # shrink only the LAST batch, which would force fresh compiles
 
         for cur_iter, batch in enumerate(self.dataloader):
             imgs, _, info_imgs, ids = batch
             start = time.time()
-            last_imgs = np.asarray(imgs, np.float32)
-            dets = infer_fn(last_imgs)
+            imgs_np = np.asarray(imgs, np.float32)
+            if est_imgs is None:
+                est_imgs = imgs_np
+            dets = infer_fn(imgs_np)
             dets = jax.device_get(dets)
             inference_time += time.time() - start
             n_batches += 1
@@ -135,10 +138,15 @@ class COCOEvaluator:
             )
 
         nms_time = 0.0
-        if decode_fn is not None and last_imgs is not None:
-            nms_time = self._estimate_nms_time(
-                infer_fn, decode_fn, last_imgs
-            ) * n_batches
+        if decode_fn is not None and est_imgs is not None:
+            # clamp: the separately-estimated NMS share can never exceed
+            # the loop-measured total (tunnel noise otherwise produces a
+            # negative forward time in the summary)
+            nms_time = min(
+                self._estimate_nms_time(infer_fn, decode_fn, est_imgs)
+                * n_batches,
+                inference_time,
+            )
 
         if distributed:
             from jax.experimental import multihost_utils
@@ -153,17 +161,26 @@ class COCOEvaluator:
     @staticmethod
     def _estimate_nms_time(infer_fn, decode_fn, imgs, reps: int = 3):
         """Per-batch NMS cost ~= t(forward+decode+NMS) - t(forward+decode).
-        Both handles are timed warm (first call compiles) and synchronized
-        by a host fetch, which is what actually blocks over the device
-        tunnel."""
+        Both handles are timed warm (first call compiles), synchronized by
+        a *small* host fetch (fetching the full Detections pytree would
+        attribute its transfer time to NMS), and take the best of ``reps``
+        — the tunnel sporadically injects multi-second stalls that would
+        otherwise swamp the difference."""
         import jax
 
+        def small_fetch(out):
+            # one element of the first leaf: syncs without bulk transfer
+            leaf = jax.tree.leaves(out)[0]
+            jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf)
+
         def timed(fn):
-            jax.device_get(fn(imgs))  # warm / compile
-            start = time.time()
+            small_fetch(fn(imgs))  # warm / compile
+            best = float("inf")
             for _ in range(reps):
-                jax.device_get(fn(imgs))
-            return (time.time() - start) / reps
+                start = time.time()
+                small_fetch(fn(imgs))
+                best = min(best, time.time() - start)
+            return best
 
         return max(0.0, timed(infer_fn) - timed(decode_fn))
 

@@ -41,12 +41,14 @@ class VOCEvaluator:
         data_dict = {}
         inference_time = 0.0
         n_batches = 0
-        last_imgs = None
+        est_imgs = None  # first (full-sized) batch — see COCOEvaluator
         for batch in self.dataloader:
             imgs, _, info_imgs, ids = batch
             start = time.time()
-            last_imgs = np.asarray(imgs, np.float32)
-            dets = infer_fn(last_imgs)
+            imgs_np = np.asarray(imgs, np.float32)
+            if est_imgs is None:
+                est_imgs = imgs_np
+            dets = infer_fn(imgs_np)
             dets = jax.device_get(dets)
             inference_time += time.time() - start
             n_batches += 1
@@ -55,12 +57,15 @@ class VOCEvaluator:
             )
 
         nms_time = 0.0
-        if decode_fn is not None and last_imgs is not None:
+        if decode_fn is not None and est_imgs is not None:
             from .coco_evaluator import COCOEvaluator
 
-            nms_time = COCOEvaluator._estimate_nms_time(
-                infer_fn, decode_fn, last_imgs
-            ) * n_batches
+            nms_time = min(
+                COCOEvaluator._estimate_nms_time(
+                    infer_fn, decode_fn, est_imgs
+                ) * n_batches,
+                inference_time,
+            )
 
         all_boxes = [
             [[] for _ in range(self.num_images)]

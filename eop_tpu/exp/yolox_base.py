@@ -351,10 +351,17 @@ class Exp(BaseExp):
 
         return serve
 
-    def eval(self, model, variables, evaluator, is_distributed=False):
+    def eval(self, model, variables, evaluator, is_distributed=False,
+             time_split=False):
+        """``time_split`` enables the forward-vs-NMS timing estimate: it
+        compiles a second (decode-only) program and runs a few extra
+        forwards, so it stays off in training loops and on for the
+        diagnostic CLI (tools/eval.py)."""
         return evaluator.evaluate(
             self.get_infer_fn(model, variables), is_distributed,
-            decode_fn=self.get_decode_fn(model, variables),
+            decode_fn=(
+                self.get_decode_fn(model, variables) if time_split else None
+            ),
         )
 
 

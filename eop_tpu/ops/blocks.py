@@ -190,10 +190,12 @@ def _maxpool1d(x, ksize: int, axis: int):
     Custom VJP: XLA's default max-pool backward is ``select_and_scatter``,
     which walks the window positions sequentially — at SPP's k=13 it was
     ~9% of the whole 24p train step on v5e.  The replacement computes
-    ``dx[i] = Σ_u g[i+u] · (x[i] == y[i+u])`` over the k window offsets as
-    one fused elementwise pipeline.  Tie semantics differ from torch
-    (gradient splits across *all* window maxima instead of the first);
-    forward values are identical.
+    ``dx[i] = Σ_u (g[i+u]/ties[i+u]) · (x[i] == y[i+u])`` over the k
+    window offsets as one fused elementwise pipeline, where ``ties[w]``
+    counts the window's maxima.  Tie semantics differ from torch (the
+    gradient splits equally across all window maxima instead of going to
+    the first one — total mass is conserved; relevant in bf16, where
+    exact ties are realistic); forward values are identical.
     """
     return _maxpool1d_fwd_raw(x, ksize, axis)
 
@@ -219,21 +221,27 @@ def _maxpool1d_bwd(ksize: int, axis: int, res, g):
     pad = ksize // 2
     padding = [(0, 0)] * x.ndim
     padding[axis] = (pad, pad)
-    gp = jnp.pad(g, padding)
-    # pad with +inf so out-of-bounds windows can never equal x
-    yp = jnp.pad(y, padding, constant_values=jnp.inf)
     n = x.shape[axis]
-    starts = [0] * x.ndim
-    limits = list(gp.shape)
-    dx = jnp.zeros_like(x)
-    for u in range(ksize):
-        s = list(starts)
-        l = list(limits)
+
+    def win(arr, u):
+        s = [0] * arr.ndim
+        l = list(arr.shape)
         s[axis] = u
         l[axis] = u + n
-        win_g = jax.lax.slice(gp, s, l)
-        win_y = jax.lax.slice(yp, s, l)
-        dx = dx + jnp.where(x == win_y, win_g, 0.0)
+        return jax.lax.slice(arr, s, l)
+
+    # ties[w] = #{i in window w : x[i] == y[w]} >= 1; NaN pad never
+    # compares equal, so out-of-bounds positions contribute nothing
+    xp = jnp.pad(x, padding, constant_values=jnp.nan)
+    ties = jnp.zeros_like(y)
+    for u in range(ksize):
+        ties = ties + (win(xp, u) == y).astype(y.dtype)
+
+    gp = jnp.pad(g / ties, padding)
+    yp = jnp.pad(y, padding, constant_values=jnp.nan)
+    dx = jnp.zeros_like(x)
+    for u in range(ksize):
+        dx = dx + jnp.where(x == win(yp, u), win(gp, u), 0.0)
     return (dx,)
 
 

@@ -122,11 +122,21 @@ class Trainer:
             )
 
         self.no_aug = self.start_epoch >= self.max_epoch - exp.no_aug_epochs
+        # ``batch_size`` is the GLOBAL batch.  Under multi-host each
+        # process loads only its 1/P share via the rank-strided sampler
+        # (the exp divides batch_size when is_distributed — the
+        # reference's per-rank split, `yolox/exp/yolox_base.py:143-144`);
+        # shard_batch stitches the local shares back into the global
+        # array on the mesh.
+        nproc = jax.process_count()
+        assert batch_size % max(nproc, 1) == 0, (batch_size, nproc)
         self.train_loader = exp.get_data_loader(
             batch_size=batch_size,
-            is_distributed=False,  # global batch; mesh shards it
+            is_distributed=nproc > 1,
             no_aug=self.no_aug,
             cache_img=getattr(args, "cache", False),
+            rank=jax.process_index(),
+            world_size=nproc,
         )
         self.iters_per_epoch = len(self.train_loader)
         self.tx = exp.get_optimizer(batch_size, self.iters_per_epoch)
@@ -238,6 +248,7 @@ class Trainer:
                 iter_time=iter_time,
                 data_time=data_time,
                 total_loss=float(host_metrics["total_loss"]),
+                cand_dropped=float(host_metrics.get("cand_dropped", 0.0)),
                 iou_loss=float(host_metrics["iou_loss"]),
                 conf_loss=float(host_metrics["conf_loss"]),
                 cls_loss=float(host_metrics["cls_loss"]),

@@ -59,7 +59,18 @@ class Trainer24P:
         os.makedirs(self.file_name, exist_ok=True)
         setup_logger(self.file_name, 0, filename="train_log.txt")
 
-        self.train_loader = exp.get_data_loader(args.batch_size)
+        # args.batch_size is the GLOBAL batch; under multi-host the exp
+        # divides it and the rank-strided sampler hands each process its
+        # 1/P share, which shard_batch stitches back on the mesh.
+        nproc = jax.process_count()
+        assert args.batch_size % max(nproc, 1) == 0, (
+            args.batch_size, nproc)
+        self.train_loader = exp.get_data_loader(
+            args.batch_size,
+            is_distributed=nproc > 1,
+            rank=jax.process_index(),
+            world_size=nproc,
+        )
         self.iters_per_epoch = len(self.train_loader)
 
         self.tblogger = None
@@ -143,6 +154,11 @@ class Trainer24P:
                         f"conf {float(metrics['conf_loss']):.4f} "
                         f"cls {float(metrics['cls_loss']):.4f} "
                         f"fg/gt {float(metrics['num_fg']):.2f}"
+                        + (
+                            f" cand_dropped {dropped}"
+                            if (dropped := int(metrics.get(
+                                "cand_dropped", 0))) else ""
+                        )
                     )
                 if self.tblogger is not None:
                     # one host transfer for the whole metric tree (each
@@ -218,6 +234,11 @@ class Trainer24P:
             tb.add_scalar(f"dwa_weight/reg_{r:02d}", float(reg_w[r]), step)
         tb.add_scalar("dwa_weight/obj", float(metrics["dwa_obj_w"]), step)
         tb.add_scalar("dwa_weight/cls", float(metrics["dwa_cls_w"]), step)
+        if "cand_dropped" in metrics:
+            # SimOTA compaction overflow telemetry (upper bound: counts
+            # shed *superset* anchors, not only true candidates)
+            tb.add_scalar("train/cand_dropped",
+                          float(metrics["cand_dropped"]), step)
 
     def render_train_sample(self, image, pred_rows, gt_rows, out_path):
         """GT-vs-pred circle overlay (ref `show_train_results:156-177`)."""

@@ -141,3 +141,34 @@ def test_maxpool_same_custom_vjp_matches_select_and_scatter():
             np.asarray(ref_vjp(ct)[0]), np.asarray(our_vjp(ct)[0]),
             rtol=1e-6, atol=1e-6, err_msg=f"k={k}",
         )
+
+
+def test_maxpool_same_tie_gradient_mass_conserved():
+    """With exact ties (realistic in bf16) the gradient must SPLIT across
+    window maxima, not duplicate: total mass is conserved."""
+    import jax
+    import jax.numpy as jnp
+
+    from eop_tpu.ops.blocks import _maxpool_same
+
+    # constant input: every window is an all-tie
+    x = jnp.ones((1, 6, 6, 2), jnp.float32)
+    ct = jnp.asarray(
+        np.arange(72, dtype=np.float32).reshape(1, 6, 6, 2)
+    )
+    for k in (3, 5):
+        _, vjp = jax.vjp(lambda z: _maxpool_same(z, k), x)
+        dx = np.asarray(vjp(ct)[0])
+        np.testing.assert_allclose(dx.sum(), float(ct.sum()), rtol=1e-5)
+
+    # mixed: one tie pair in an otherwise unique row
+    x2 = jnp.asarray(
+        np.array([[5.0, 1.0, 5.0, 0.0, 2.0]], np.float32)
+    )[:, :, None, None]  # [1, 5, 1, 1]
+    ct2 = jnp.ones_like(x2)
+    _, vjp2 = jax.vjp(lambda z: _maxpool_same(z, 3), x2)
+    dx2 = np.asarray(vjp2(ct2)[0]).ravel()
+    np.testing.assert_allclose(dx2.sum(), 5.0, rtol=1e-6)  # mass of ct
+    # window at index 1 ([5,1,5]) has a tie: its unit mass splits .5/.5
+    # windows 0 ([-,5,1]->5) and 2 ([1,5? ...]) contribute fully to maxima
+    assert dx2[1] == 0.0 and dx2[3] == 0.0  # never the max anywhere

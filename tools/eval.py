@@ -101,7 +101,10 @@ def main():
         legacy=args.legacy,
     )
     evaluator.per_class_AP = args.per_class_ap
-    ap50_95, ap50, summary = exp.eval(model, variables, evaluator)
+    # diagnostic CLI: enable the forward-vs-NMS timing split
+    ap50_95, ap50, summary = exp.eval(
+        model, variables, evaluator, time_split=True
+    )
     print(summary)
     print(f"AP50:95 = {ap50_95:.4f}  AP50 = {ap50:.4f}")
 

@@ -49,6 +49,8 @@ def main():
     from eop_tpu.utils.profiler import trace
     from eop_tpu.utils.xplane import device_op_table
 
+    from eop_tpu.utils.synth import synthetic_24p_batch
+
     model = YOLOX(
         depth=args.depth, width=args.width, num_classes=80, reg_dim=26,
         dtype=jnp.bfloat16,
@@ -56,19 +58,8 @@ def main():
     tx = optax.sgd(0.01, momentum=0.9, nesterov=True)
     rng = jax.random.PRNGKey(0)
     B, S = args.batch, args.size
-    imgs = jax.random.uniform(rng, (B, S, S, 3), jnp.float32) * 255.0
-    # labels [B, 50, 51]: ~8 valid rows/img of plausible 24-gons
-    k1, k2, k3 = jax.random.split(rng, 3)
-    cx = jax.random.uniform(k1, (B, 50, 1), minval=100.0, maxval=S - 100.0)
-    cy = jax.random.uniform(k2, (B, 50, 1), minval=100.0, maxval=S - 100.0)
-    r = jax.random.uniform(k3, (B, 50, 24), minval=10.0, maxval=80.0)
-    theta = jnp.arange(24) * (2 * jnp.pi / 24)
-    px = cx + r * jnp.cos(theta)
-    py = cy + r * jnp.sin(theta)
-    pts = jnp.stack([px, py], -1).reshape(B, 50, 48)
-    cls = jnp.zeros((B, 50, 1))
-    labels = jnp.concatenate([cls, cx, cy, pts], -1)
-    labels = labels * (jnp.arange(50)[None, :, None] < 8)
+    # ~8 valid plausible 24-gon rows per image
+    imgs, labels = synthetic_24p_batch(rng, B, S, ngt=8)
 
     state = create_train_state(
         model, tx, rng, imgs[:1], use_ema=True, with_dwa=True
