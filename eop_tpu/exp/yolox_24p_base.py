@@ -250,7 +250,13 @@ class Exp24P(BaseExp):
         """Jitted forward + decode + polygon NMS handle."""
         import jax
 
-        @jax.jit
+        return jax.jit(self._infer_body(model, variables))
+
+    def _infer_body(self, model, variables):
+        """Unjitted forward + decode + polygon-NMS body (shared by the
+        jitted single-device handle and the sharded multi-chip one)."""
+        import jax
+
         def infer(imgs):
             from ..eval.postprocess import postprocess_24p
             from ..models import inference_outputs
@@ -269,3 +275,10 @@ class Exp24P(BaseExp):
             )
 
         return infer
+
+    def get_sharded_infer_fn(self, model, variables, mesh):
+        """Multi-chip serving/eval: batch sharded on the data axis,
+        detections sharded out, params replicated."""
+        from ..parallel.mesh import shard_inference
+
+        return shard_inference(self._infer_body(model, variables), mesh)

@@ -283,7 +283,13 @@ class Exp(BaseExp):
         """Jitted forward + decode + NMS handle for evaluators."""
         import jax
 
-        @jax.jit
+        return jax.jit(self._infer_body(model, variables))
+
+    def _infer_body(self, model, variables):
+        """Unjitted forward + decode + NMS body (shared by the jitted
+        single-device handle and the sharded multi-chip one)."""
+        import jax
+
         def infer(imgs):
             from ..eval.postprocess import postprocess_bbox
             from ..models import inference_outputs
@@ -301,6 +307,15 @@ class Exp(BaseExp):
             )
 
         return infer
+
+    def get_sharded_infer_fn(self, model, variables, mesh):
+        """Multi-chip serving/eval: the same inference program jitted over
+        a device mesh — batch sharded on the data axis, detections sharded
+        out, params replicated (capability the reference lacks: its
+        demo/eval paths are single-GPU)."""
+        from ..parallel.mesh import shard_inference
+
+        return shard_inference(self._infer_body(model, variables), mesh)
 
     def get_decode_fn(self, model, variables):
         """Jitted forward + decode WITHOUT NMS — used by the evaluator to

@@ -4,6 +4,7 @@ from .mesh import (
     replicated,
     batch_sharded,
     shard_batch,
+    shard_inference,
     shard_train_step,
     sync_batch_stats,
 )

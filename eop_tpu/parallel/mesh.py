@@ -71,6 +71,18 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_inference(infer_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Jit a batched inference fn over the mesh: batch sharded in, every
+    output leaf batch-sharded out (params are closed over and replicated
+    by GSPMD).  This is the multi-chip serving path — the reference has
+    no inference parallelism at all (its demo/eval loops are single-GPU,
+    `yolox/core/launch.py` only covers training); on TPU the same jitted
+    program scales across the mesh with zero code changes to the model.
+    """
+    data = NamedSharding(mesh, P(axis_name))
+    return jax.jit(infer_fn, in_shardings=(data,), out_shardings=data)
+
+
 def shard_train_step(step_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Jit a (state, images, labels, rng) -> (state, metrics) step over the
     mesh: state replicated (+donated), batch sharded on the data axis.
