@@ -181,3 +181,46 @@ def test_wd_mask_only_kernels():
     assert float(jnp.abs(updates["conv"]["kernel"]).sum()) > 0
     assert float(jnp.abs(updates["conv"]["bias"]).sum()) == 0
     assert float(jnp.abs(updates["bn"]["scale"]).sum()) == 0
+
+
+def test_remat_gradients_match_baseline():
+    """remat=True (gradient checkpointing of the trunk) must change memory,
+    not math: loss and grads equal the non-remat model."""
+    import jax
+    import jax.numpy as jnp
+
+    from eop_tpu.models import YOLOX, init_model, training_outputs
+
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    )
+
+    def loss_of(model, variables):
+        def f(p):
+            (head_outs, _), _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x, True, mutable=["batch_stats"],
+            )
+            decoded, _, _, _ = training_outputs(head_outs, reg_dim=4)
+            return jnp.sum(decoded.astype(jnp.float32) ** 2) * 1e-6
+
+        return jax.value_and_grad(f)(variables["params"])
+
+    base = YOLOX(depth=0.33, width=0.25, num_classes=4, remat=False)
+    rem = YOLOX(depth=0.33, width=0.25, num_classes=4, remat=True)
+    variables = init_model(base, jax.random.PRNGKey(0), x[:1])
+    # identical param trees: remat wraps the module, params unchanged
+    v2 = init_model(rem, jax.random.PRNGKey(0), x[:1])
+    chex_eq = jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=0, atol=0),
+        variables["params"], v2["params"],
+    )
+    del chex_eq
+
+    l0, g0 = loss_of(base, variables)
+    l1, g1 = loss_of(rem, variables)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        g0, g1,
+    )
