@@ -125,10 +125,13 @@ class COCOEvaluator:
 
         for cur_iter, batch in enumerate(self.dataloader):
             imgs, _, info_imgs, ids = batch
-            start = time.time()
             imgs_np = np.asarray(imgs, np.float32)
             if est_imgs is None:
                 est_imgs = imgs_np
+                # warm: keep the one-off XLA compile out of the timers
+                # (the reference accumulates steady-state timers only)
+                jax.device_get(infer_fn(imgs_np))
+            start = time.time()
             dets = infer_fn(imgs_np)
             dets = jax.device_get(dets)
             inference_time += time.time() - start
@@ -149,11 +152,14 @@ class COCOEvaluator:
             )
 
         if distributed:
-            from jax.experimental import multihost_utils
+            # padded-pickle object all_gather (parallel.dist): a raw
+            # ``process_allgather`` on a list of result dicts would treat
+            # the dicts as pytrees (yielding their KEYS when chained) and
+            # requires identical structures across hosts — per-host
+            # detection lists differ in length
+            from ..parallel.dist import all_gather
 
-            gathered = multihost_utils.process_allgather(data_list)
-            data_list = list(itertools.chain(*gathered)) \
-                if isinstance(gathered, list) else data_list
+            data_list = list(itertools.chain(*all_gather(data_list)))
 
         statistics = (inference_time, nms_time, max(n_batches, 1))
         return self.evaluate_prediction(data_list, statistics)

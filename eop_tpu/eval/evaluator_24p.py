@@ -15,6 +15,8 @@ from __future__ import annotations
 import time
 from typing import Callable
 
+import os
+
 import numpy as np
 
 from ..data.coco_api import COCO
@@ -55,8 +57,14 @@ class Evaluator24P:
             img_name = ds.image_list[idx]
             key = img_name.split(".")[0]
             img_id = int(key)
-            # original size via the resized-image ratio bookkeeping
-            _, _, (ori_h, ori_w), _ = ds.pull_item(idx)
+            # size from the image header only — pull_item would decode +
+            # resize every image once just for this metadata
+            from PIL import Image
+
+            with Image.open(
+                os.path.join(ds.data_dir, img_name)
+            ) as im:
+                ori_w, ori_h = im.size
             images.append(
                 {"id": img_id, "width": int(ori_w), "height": int(ori_h),
                  "file_name": img_name}
@@ -106,10 +114,12 @@ class Evaluator24P:
         n_batches = 0
         for batch in self.dataloader:
             imgs, _, info_imgs, ids = batch
+            imgs_np = np.asarray(imgs, np.float32)
+            if n_batches == 0:
+                # warm: keep the one-off XLA compile out of the timers
+                jax.device_get(infer_fn(imgs_np))
             start = time.time()
-            dets: Detections = jax.device_get(
-                infer_fn(np.asarray(imgs, np.float32))
-            )
+            dets: Detections = jax.device_get(infer_fn(imgs_np))
             inference_time += time.time() - start
             n_batches += 1
             rows = np.asarray(dets.rows)

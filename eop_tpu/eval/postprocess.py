@@ -77,16 +77,14 @@ def postprocess_bbox(
         cls_conf = jnp.max(pred[:, 5 : 5 + num_classes], axis=1)
         cls_id = jnp.argmax(pred[:, 5 : 5 + num_classes], axis=1)
         scores = obj * cls_conf
-        # ref conf filter: obj*class_conf >= conf_thre → score_threshold just
-        # below to keep >= semantics under float compare
         if class_agnostic:
             keep, order = nms(boxes, scores, nms_thre,
-                              conf_thre - 1e-12, nms_candidates,
+                              conf_thre, nms_candidates,
                               fixpoint_iters=nms_fixpoint_iters)
         else:
             keep, order = batched_class_nms(
                 boxes, scores, cls_id, nms_thre,
-                conf_thre - 1e-12, nms_candidates,
+                conf_thre, nms_candidates,
                 fixpoint_iters=nms_fixpoint_iters,
             )
         rows = jnp.concatenate(
@@ -128,12 +126,12 @@ def postprocess_24p(
 
         if class_agnostic:
             keep, order = nms(boxes, scores, nms_thre,
-                              conf_thre - 1e-12, nms_candidates,
+                              conf_thre, nms_candidates,
                               fixpoint_iters=nms_fixpoint_iters)
         else:
             keep, order = batched_class_nms(
                 boxes, scores, cls_id, nms_thre,
-                conf_thre - 1e-12, nms_candidates,
+                conf_thre, nms_candidates,
                 fixpoint_iters=nms_fixpoint_iters,
             )
         rows = jnp.concatenate(

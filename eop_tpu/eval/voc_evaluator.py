@@ -44,10 +44,12 @@ class VOCEvaluator:
         est_imgs = None  # first (full-sized) batch — see COCOEvaluator
         for batch in self.dataloader:
             imgs, _, info_imgs, ids = batch
-            start = time.time()
             imgs_np = np.asarray(imgs, np.float32)
             if est_imgs is None:
                 est_imgs = imgs_np
+                # warm: keep the one-off XLA compile out of the timers
+                jax.device_get(infer_fn(imgs_np))
+            start = time.time()
             dets = infer_fn(imgs_np)
             dets = jax.device_get(dets)
             inference_time += time.time() - start
@@ -55,6 +57,16 @@ class VOCEvaluator:
             data_dict.update(
                 self.convert_to_voc_format(dets, info_imgs, ids)
             )
+
+        if distributed:
+            # merge per-host detection dicts (parallel.dist.all_gather
+            # handles arbitrary picklable payloads of differing sizes)
+            from ..parallel.dist import all_gather
+
+            merged = {}
+            for part in all_gather(data_dict):
+                merged.update(part)
+            data_dict = merged
 
         nms_time = 0.0
         if decode_fn is not None and est_imgs is not None:

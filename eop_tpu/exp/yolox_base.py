@@ -258,8 +258,19 @@ class Exp(BaseExp):
             img_size=self.test_size,
             preproc=ValTransform(legacy=legacy),
         )
+        sampler = None
+        if is_distributed:
+            # per-host slice of the val set (the reference's eval-side
+            # batch split, `get_eval_loader:241-270`); the evaluator
+            # all_gathers the per-host results before COCOeval
+            from ..parallel import dist
+
+            sampler = list(range(
+                dist.get_rank(), len(valdataset), dist.get_world_size()
+            ))
         return DataLoader(
             valdataset, batch_size=batch_size, shuffle=False,
+            sampler=sampler,
             num_workers=self.data_num_workers,
         )
 

@@ -20,9 +20,10 @@ Parity target: `Loss_Function`
   carried as explicit state (`losses.py:311-345`) — here a ``DWAState``
   pytree threaded through the train step instead of module attributes.
 
-Known reference quirk we *fix* by default (flag for parity): its 24p L1
+Known reference quirk we *fix* by default
+(``Loss24PConfig(reference_parity=True)`` replicates it): its 24p L1
 target uses the absolute point coordinates instead of center-relative
-radii (`losses.py:594-603`); we use true radii.
+radii (`losses.py:594-603`); the default uses true radii.
 """
 
 from __future__ import annotations
@@ -43,6 +44,8 @@ from .simota import (
     Assignment,
     SimOTAConfig,
     compact_candidates,
+    gather_anchor_geometry,
+    gather_foreground,
     pairwise_cls_cost,
     scatter_assignment,
     simota_match,
@@ -281,15 +284,11 @@ def loss_24p(
     num_fg = jnp.maximum(jnp.sum(assign.num_fg), 1.0)
     num_gts = jnp.maximum(jnp.sum(assign.num_gt), 1.0)
 
-    # Foreground compaction: SimOTA selects at most max_labels*max_k
-    # anchors per image, so the matched losses (24-ray circle GIoU, cls
-    # BCE, L1) run on a static [B, K_fg] gather instead of all A anchors —
-    # ~17x less work at A=8400, bitwise-identical sums (zero weights pad).
-    a = fgf.shape[1]
-    k_fg = min(a, labels.shape[1] * config.simota.max_k)
-    w_fg, fg_idx = jax.lax.top_k(fgf, k_fg)          # [B, K], [B, K]
-    matched = jnp.take_along_axis(assign.matched_gt, fg_idx, axis=1)
-    pred_iou_k = jnp.take_along_axis(assign.pred_iou, fg_idx, axis=1)
+    # Foreground compaction (~17x less matched-loss work at A=8400; see
+    # simota.gather_foreground)
+    w_fg, fg_idx, matched, pred_iou_k = gather_foreground(
+        assign, labels.shape[1], config.simota.max_k
+    )
     poly_k = jnp.take_along_axis(
         poly_preds, fg_idx[..., None], axis=1
     )                                                 # [B, K, 26]
@@ -318,19 +317,22 @@ def loss_24p(
     ) / num_fg
 
     if config.use_l1:
-        grids_k = jnp.take_along_axis(
-            jnp.broadcast_to(grids[None], (fgf.shape[0],) + grids.shape),
-            fg_idx[..., None], axis=1,
-        )
-        strides_k = jnp.take_along_axis(
-            jnp.broadcast_to(strides[None], fgf.shape), fg_idx, axis=1
-        )
+        grids_k, strides_k = gather_anchor_geometry(grids, strides, fg_idx)
         origin_k = jnp.take_along_axis(
             origin_reg.astype(jnp.float32), fg_idx[..., None], axis=1
         )
         tx = gt_centers[..., 0] / strides_k - grids_k[..., 0]
         ty = gt_centers[..., 1] / strides_k - grids_k[..., 1]
-        tr = jnp.log(gt_radii / strides_k[..., None] + 1e-8)
+        if config.reference_parity:
+            # reference quirk (`get_l1_target`, losses.py:594-603): the
+            # per-ray "radius" is the distance from the IMAGE ORIGIN to
+            # the polygon point, not from the object centre
+            px = gt_rows[..., 2::2]
+            py = gt_rows[..., 3::2]
+            r_src = jnp.sqrt(px * px + py * py)
+        else:
+            r_src = gt_radii  # corrected: true centre-relative radii
+        tr = jnp.log(r_src / strides_k[..., None] + 1e-8)
         l1_t = jnp.concatenate([tx[..., None], ty[..., None], tr], axis=-1)
         loss_l1 = jnp.sum(
             jnp.abs(origin_k - l1_t) * w_fg[..., None]

@@ -108,6 +108,40 @@ class Assignment(NamedTuple):
     num_dropped: jnp.ndarray = None
 
 
+def gather_foreground(assign: "Assignment", max_labels: int, max_k: int):
+    """Static foreground compaction shared by both loss families.
+
+    SimOTA selects at most ``max_labels*max_k`` anchors per image, so the
+    matched losses can run on a [B, K_fg] gather instead of all A anchors
+    — identical sums (the ``w_fg`` 0/1 weights zero out padding).
+
+    Returns (w_fg [B,K] f32, fg_idx [B,K] i32, matched [B,K] i32,
+    pred_iou [B,K] f32).
+    """
+    fgf = assign.fg_mask.astype(jnp.float32)
+    a = fgf.shape[1]
+    k_fg = min(a, max_labels * max_k)
+    w_fg, fg_idx = jax.lax.top_k(fgf, k_fg)
+    matched = jnp.take_along_axis(assign.matched_gt, fg_idx, axis=1)
+    pred_iou_k = jnp.take_along_axis(assign.pred_iou, fg_idx, axis=1)
+    return w_fg, fg_idx, matched, pred_iou_k
+
+
+def gather_anchor_geometry(grids, strides, fg_idx):
+    """Per-anchor grid cells + strides at the compacted indices
+    ([A,2]/[A] broadcast over batch -> [B,K,2]/[B,K])."""
+    b = fg_idx.shape[0]
+    grids_k = jnp.take_along_axis(
+        jnp.broadcast_to(grids[None], (b,) + grids.shape),
+        fg_idx[..., None], axis=1,
+    )
+    strides_k = jnp.take_along_axis(
+        jnp.broadcast_to(strides[None], (b, strides.shape[0])),
+        fg_idx, axis=1,
+    )
+    return grids_k, strides_k
+
+
 def in_boxes_info(gt_boxes, gt_valid, grids, strides, center_radius):
     """Anchor-center membership tests (ref `get_in_boxes_info:522-605`).
 

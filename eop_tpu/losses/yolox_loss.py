@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from .iou_loss import bce_with_logits, iou_loss
-from .simota import Assignment, SimOTAConfig, simota_assign
+from .simota import (
+    Assignment,
+    SimOTAConfig,
+    gather_anchor_geometry,
+    gather_foreground,
+    simota_assign,
+)
 
 
 class YoloxLossConfig(NamedTuple):
@@ -78,14 +84,10 @@ def yolox_losses(
     num_fg = jnp.maximum(jnp.sum(assign.num_fg), 1.0)
     num_gts = jnp.maximum(jnp.sum(assign.num_gt), 1.0)
 
-    # Foreground compaction: at most max_labels*max_k anchors match, so
-    # the matched losses run on a static [B, K_fg] gather instead of all
-    # A anchors (identical sums; zero weights pad).
-    a = fgf.shape[1]
-    k_fg = min(a, labels.shape[1] * config.simota.max_k)
-    w_fg, fg_idx = jax.lax.top_k(fgf, k_fg)
-    matched = jnp.take_along_axis(assign.matched_gt, fg_idx, axis=1)
-    pred_iou_k = jnp.take_along_axis(assign.pred_iou, fg_idx, axis=1)
+    # Foreground compaction (see simota.gather_foreground)
+    w_fg, fg_idx, matched, pred_iou_k = gather_foreground(
+        assign, labels.shape[1], config.simota.max_k
+    )
     bbox_k = jnp.take_along_axis(bbox_preds, fg_idx[..., None], axis=1)
     cls_logits_k = jnp.take_along_axis(
         cls_logits, fg_idx[..., None], axis=1
@@ -107,13 +109,7 @@ def yolox_losses(
     ) / num_fg
 
     if config.use_l1:
-        grids_k = jnp.take_along_axis(
-            jnp.broadcast_to(grids[None], (fgf.shape[0],) + grids.shape),
-            fg_idx[..., None], axis=1,
-        )
-        strides_k = jnp.take_along_axis(
-            jnp.broadcast_to(strides[None], fgf.shape), fg_idx, axis=1
-        )
+        grids_k, strides_k = gather_anchor_geometry(grids, strides, fg_idx)
         origin_k = jnp.take_along_axis(
             origin_reg.astype(jnp.float32), fg_idx[..., None], axis=1
         )

@@ -90,7 +90,9 @@ def nms(
       boxes: [N, 4] xyxy.
       scores: [N].
       iou_threshold: suppression threshold.
-      score_threshold: candidates below it are masked out entirely.
+      score_threshold: candidates strictly below it are masked out
+        (``>=`` keeps, matching the reference's ``obj*cls >= conf_thre``,
+        `yolox/utils/boxes.py:52`).
       max_candidates: top-K pre-selection (defaults to N).
       fixpoint_iters: suppression-recurrence budget (default: scaled, see
         `_suppress`).
@@ -103,7 +105,7 @@ def nms(
     k = n if max_candidates is None else min(max_candidates, n)
     top_scores, order = jax.lax.top_k(scores, k)
     cand = boxes[order]
-    valid = top_scores > score_threshold
+    valid = top_scores >= score_threshold
     iou = bboxes_iou(cand, cand, xyxy=True)
     keep = _suppress(iou, valid, iou_threshold,
                      fixpoint_iters=fixpoint_iters)
@@ -135,7 +137,7 @@ def batched_class_nms(
     top_scores, order = jax.lax.top_k(scores, k)
     cand = boxes[order]
     cand_cls = class_ids[order]
-    valid = top_scores > score_threshold
+    valid = top_scores >= score_threshold
     iou = bboxes_iou(cand, cand, xyxy=True)
     same_class = cand_cls[:, None] == cand_cls[None, :]
     keep = _suppress(iou, valid, iou_threshold, same_class,

@@ -87,7 +87,8 @@ def test_trainer_resume_orders_no_aug(tmp_path, monkeypatch):
 
     captured = {}
 
-    def fake_loader(batch_size, is_distributed, no_aug, cache_img=False):
+    def fake_loader(batch_size, is_distributed, no_aug,
+                    cache_img=False, rank=0, world_size=1):
         captured["no_aug"] = no_aug
         raise StopIteration("stop after loader construction")
 

@@ -69,10 +69,19 @@ def test_coco_evaluator_oracle(coco_val_dir):
     max_det = 10
 
     class Oracle:
+        # idempotent: evaluators warm infer_fn by repeating the first
+        # batch (real infer_fns are pure); cache per batch content
         def __init__(self):
             self.idx = 0
+            self._cache = {}
 
         def __call__(self, imgs):
+            key = hash(np.asarray(imgs).tobytes())
+            if key not in self._cache:
+                self._cache[key] = self._compute(imgs)
+            return self._cache[key]
+
+        def _compute(self, imgs):
             b = imgs.shape[0]
             rows = np.zeros((b, max_det, 7), np.float32)
             valid = np.zeros((b, max_det), bool)
@@ -130,10 +139,19 @@ def test_evaluator_24p_oracle(tmp_path):
     max_det = 10
 
     class Oracle:
+        # idempotent: evaluators warm infer_fn by repeating the first
+        # batch (real infer_fns are pure); cache per batch content
         def __init__(self):
             self.idx = 0
+            self._cache = {}
 
         def __call__(self, imgs):
+            key = hash(np.asarray(imgs).tobytes())
+            if key not in self._cache:
+                self._cache[key] = self._compute(imgs)
+            return self._cache[key]
+
+        def _compute(self, imgs):
             b = imgs.shape[0]
             rows = np.zeros((b, max_det, 29), np.float32)
             valid = np.zeros((b, max_det), bool)

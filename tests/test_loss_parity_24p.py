@@ -95,7 +95,7 @@ def _ref_losses(losses_mod, outputs, origin, labels, use_l1):
             )
 
 
-@pytest.mark.parametrize("use_l1", [False])
+@pytest.mark.parametrize("use_l1", [False, True])
 def test_full_24p_loss_parity(use_l1):
     losses_mod = ref_loader.ref_24p_losses()
     for seed in (0, 1, 2):
@@ -130,6 +130,11 @@ def test_full_24p_loss_parity(use_l1):
             float(t_cls), float(aux.loss_cls), rtol=1e-4,
             err_msg=f"seed {seed} cls",
         )
+        if use_l1:
+            np.testing.assert_allclose(
+                float(t_l1), float(aux.loss_l1), rtol=1e-4,
+                err_msg=f"seed {seed} l1 (origin-distance quirk)",
+            )
         np.testing.assert_allclose(
             float(t_loss), float(total), rtol=1e-4,
             err_msg=f"seed {seed} total",
