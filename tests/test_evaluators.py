@@ -232,3 +232,22 @@ def test_coco_evaluator_fwd_nms_timing_split(coco_val_dir):
     assert "Average forward time" in summary
     assert "Average NMS time" in summary
     assert "Average inference time" in summary
+
+
+def test_coco_evaluator_distributed_single_process(coco_eval_setup=None):
+    """evaluate(distributed=True) must round-trip detections through the
+    object all_gather unchanged (world=1 here; the multi-process transport
+    itself is exercised in tests/test_multihost.py)."""
+    from eop_tpu.parallel.dist import all_gather
+
+    # the transport invariant the evaluator relies on: lists of result
+    # dicts come back intact (not flattened to dict keys)
+    payload = [{"image_id": 1, "bbox": [1.0, 2.0, 3.0, 4.0],
+                "score": 0.5, "category_id": 2, "segmentation": []}]
+    out = all_gather(payload)
+    assert out == [payload]
+
+    import itertools
+
+    merged = list(itertools.chain(*out))
+    assert merged == payload
