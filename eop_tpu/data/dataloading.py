@@ -17,6 +17,7 @@ exception propagation, and per-worker reseeding.
 from __future__ import annotations
 
 import multiprocessing as mp
+import queue
 import random
 import traceback
 import uuid
@@ -198,7 +199,27 @@ class DataLoader:
                     yield batch
                 if not in_flight:
                     break
-                batch_id, batch, err = self._result_q.get()
+                # poll with a timeout so a worker dying mid-batch (OOM
+                # kill, cv2 segfault) raises instead of blocking forever
+                # on a result that will never come (torch's DataLoader
+                # does the same liveness check)
+                while True:
+                    try:
+                        batch_id, batch, err = self._result_q.get(
+                            timeout=5.0
+                        )
+                        break
+                    except queue.Empty:
+                        dead = [
+                            p.pid for p in self._workers
+                            if not p.is_alive()
+                        ]
+                        if dead:
+                            raise RuntimeError(
+                                f"DataLoader worker(s) {dead} died "
+                                "unexpectedly (killed / crashed) with "
+                                f"{len(in_flight)} batch(es) in flight"
+                            ) from None
                 if err is not None:
                     raise RuntimeError(f"DataLoader worker failed:\n{err}")
                 del in_flight[batch_id]

@@ -141,8 +141,10 @@ class Polygon24:
             if name in img_cache:
                 img_h, img_w = img_cache[name]
             elif os.path.exists(image_pth):
-                im = cv2.imread(str(image_pth))
-                img_h, img_w = im.shape[0], im.shape[1]
+                # sizes straight from the COCO index — decoding every
+                # JPEG just for im.shape costs hours on train2017
+                info = self.coco.imgs[anno["image_id"]]
+                img_h, img_w = int(info["height"]), int(info["width"])
                 img_cache[name] = (img_h, img_w)
             else:
                 continue

@@ -161,15 +161,20 @@ class Exp(BaseExp):
             worker_init_fn=worker_init_reset_seed,
         )
 
-    def random_resize(self, rank: int = 0, is_distributed: bool = False):
-        """Draw a multiscale size (ref `random_resize:166-185`; the rank-0
-        broadcast is unnecessary when all hosts share the seed stream —
-        each host draws the same size from a shared counter)."""
+    def random_resize(self, step: int = 0):
+        """Draw a multiscale size (ref `random_resize:166-185`).
+
+        Deterministic in ``(exp.seed, step)`` so every host draws the SAME
+        size at the same training step — the seed-synchronized equivalent
+        of the reference's rank-0 `dist.broadcast` of the drawn tensor
+        (global `random.randint` would desynchronize hosts and stitch
+        differently-sized local batches into one global array)."""
         if self.random_size is None:
             min_size = int(self.input_size[0] / 32) - self.multiscale_range
             max_size = int(self.input_size[0] / 32) + self.multiscale_range
             self.random_size = (min_size, max_size)
-        size = random.randint(*self.random_size)
+        rng = random.Random(((self.seed or 0) * 1_000_003) ^ step)
+        size = rng.randint(*self.random_size)
         size = (int(32 * size), int(32 * size))
         return size
 

@@ -79,8 +79,7 @@ def synchronize():
     multihost_utils.sync_global_devices("eop_tpu_synchronize")
 
 
-def _pickle_to_padded(data: Any, pad_to: int) -> np.ndarray:
-    buf = pickle.dumps(data)
+def _pickle_to_padded(buf: bytes, pad_to: int) -> np.ndarray:
     arr = np.zeros(pad_to + 8, np.uint8)
     arr[:8] = np.frombuffer(
         np.int64(len(buf)).tobytes(), np.uint8
@@ -102,13 +101,13 @@ def all_gather(data: Any) -> List[Any]:
         return [data]
     from jax.experimental import multihost_utils
 
-    buf = pickle.dumps(data)
+    buf = pickle.dumps(data)  # serialized once; reused for the payload
     sizes = multihost_utils.process_allgather(
         np.asarray([len(buf)], np.int64)
     ).reshape(-1)
     pad_to = int(sizes.max())
     stacked = multihost_utils.process_allgather(
-        _pickle_to_padded(data, pad_to)
+        _pickle_to_padded(buf, pad_to)
     )
     return [_unpickle_from_padded(np.asarray(row)) for row in stacked]
 

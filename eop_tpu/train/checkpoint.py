@@ -51,19 +51,37 @@ def load_checkpoint(path: str):
     return ckptr.restore(os.path.abspath(path))
 
 
+def _norm_path(path) -> str:
+    """Container-agnostic path key: a TrainState flattens with GetAttrKey
+    (``.params['conv']``) while the orbax-restored checkpoint is a plain
+    dict (``['params']['conv']``) — ``jax.tree_util.keystr`` would never
+    match the two, silently restoring nothing.  Normalize every entry to
+    its bare name."""
+    parts = []
+    for p in path:
+        if hasattr(p, "name"):        # GetAttrKey (struct dataclasses)
+            parts.append(str(p.name))
+        elif hasattr(p, "key"):       # DictKey
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):       # SequenceKey
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
 def load_ckpt_partial(template: Any, ckpt_tree: Any):
     """Shape-checked partial overlay (ref `load_ckpt:11-33`): keys missing
     or shape-mismatched keep the template's value; returns (tree, report).
     """
-    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
     flat_c = {
-        jax.tree_util.keystr(p): v
+        _norm_path(p): v
         for p, v in jax.tree_util.tree_flatten_with_path(ckpt_tree)[0]
     }
     loaded, skipped = [], []
 
     def merge(path, leaf):
-        key = jax.tree_util.keystr(path)
+        key = _norm_path(path)
         if key in flat_c:
             cand = flat_c[key]
             if getattr(cand, "shape", None) == getattr(leaf, "shape", None):

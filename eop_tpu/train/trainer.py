@@ -42,26 +42,11 @@ from .steps import TrainState, create_train_state, make_train_step_bbox
 
 
 
-def _enable_compile_cache():
-    """Persist XLA compiles (multiscale training touches up to 11 shape
-    buckets; each 640px step costs minutes to compile over the tunnel)."""
-    import os
-
-    import jax
-
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.getcwd(), ".jax_cache"),
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+from ..utils.setup_env import enable_compile_cache
 
 class Trainer:
     def __init__(self, exp, args):
-        _enable_compile_cache()
+        enable_compile_cache()
         self.exp = exp
         self.args = args
 
@@ -200,10 +185,11 @@ class Trainer:
     def before_epoch(self):
         logger.info(f"---> start train epoch{self.epoch + 1}")
         exp = self.exp
-        if (
+        if not getattr(self, "_no_aug_applied", False) and (
             self.epoch + 1 == self.max_epoch - exp.no_aug_epochs
             or self.no_aug
         ):
+            self._no_aug_applied = True
             logger.info("--->No mosaic aug now!")
             self.train_loader.close_mosaic()
             self._mosaic_switched = True
@@ -232,7 +218,6 @@ class Trainer:
                 imgs, labels = self.exp.preprocess(imgs, labels, tsize)
             data_time = time.time() - iter_start
 
-            step_fn = self._get_step()
             with self.mesh:
                 # multi-host aware: local batches stitch into the global
                 # array (see parallel.mesh.shard_batch)
@@ -260,9 +245,10 @@ class Trainer:
                 self._log_iter(it, tsize)
                 self.meter.clear_meters()
 
-            # multiscale: draw a new size every 10 iters (ref :251-254)
+            # multiscale: draw a new size every 10 iters (ref :251-254);
+            # seeded by the global step so all hosts agree
             if (self.progress_in_iter + 1) % 10 == 0:
-                tsize = self.exp.random_resize()
+                tsize = self.exp.random_resize(self.progress_in_iter + 1)
 
     def _log_iter(self, it, tsize):
         left_iters = (
@@ -317,12 +303,21 @@ class Trainer:
         if getattr(args, "resume", False):
             logger.info("resume training")
             payload = self._resume_payload  # loaded in before_train
-            merged, _ = load_ckpt_partial(
+            merged, report = load_ckpt_partial(
                 jax.tree.map(np.asarray, self.state), payload["state"]
             )
             self.state = jax.tree.map(jnp.asarray, merged)
             self._resume_payload = None
-            logger.info(f"resumed at epoch {self.start_epoch}")
+            if report["skipped"]:
+                logger.warning(
+                    f"resume: {len(report['skipped'])} mismatched/missing "
+                    f"keys kept their fresh values (first: "
+                    f"{report['skipped'][:3]})"
+                )
+            logger.info(
+                f"resumed at epoch {self.start_epoch} "
+                f"({len(report['loaded'])} leaves restored)"
+            )
         elif getattr(args, "ckpt", None):
             logger.info("loading checkpoint for fine tuning")
             payload = load_checkpoint(args.ckpt)

@@ -29,26 +29,11 @@ from .steps import create_train_state, make_train_step_24p
 
 
 
-def _enable_compile_cache():
-    """Persist XLA compiles (multiscale training touches up to 11 shape
-    buckets; each 640px step costs minutes to compile over the tunnel)."""
-    import os
-
-    import jax
-
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.getcwd(), ".jax_cache"),
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+from ..utils.setup_env import enable_compile_cache
 
 class Trainer24P:
     def __init__(self, exp, args):
-        _enable_compile_cache()
+        enable_compile_cache()
         self.exp = exp
         self.args = args
         self.max_epoch = exp.max_epoch
@@ -211,9 +196,10 @@ class Trainer24P:
             merged, report = load_ckpt_partial(host, payload["state"])
             state = jax.tree.map(jnp.asarray, merged)
             if getattr(args, "resume", False):
+                explicit = getattr(args, "start_epoch", None)
                 self.start_epoch = (
-                    getattr(args, "start_epoch", None)
-                    or payload.get("metadata", {}).get("start_epoch", 0)
+                    explicit if explicit is not None
+                    else payload.get("metadata", {}).get("start_epoch", 0)
                 )
         return state
 

@@ -45,3 +45,22 @@ def configure_tpu():
     """TPU-runtime knobs (the `configure_nccl` slot): nothing to tune for
     ICI; kept as the hook where XLA flags would go."""
     return None
+
+
+def enable_compile_cache(cache_dir=None):
+    """Persist XLA compiles (multiscale training touches many shape
+    buckets; each 640 px step costs minutes to compile over a device
+    tunnel).  Shared by both trainers."""
+    import os
+
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.getcwd(), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass

@@ -224,3 +224,53 @@ def test_remat_gradients_match_baseline():
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
         g0, g1,
     )
+
+
+def test_trainstate_checkpoint_roundtrip_restores_weights(tmp_path):
+    """REGRESSION: a TrainState flattens with GetAttrKey while the orbax
+    payload is a plain dict; the keystr mismatch used to make resume
+    silently restore ZERO leaves (post-resume eval AP dropped to 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eop_tpu.models import YOLOX
+    from eop_tpu.train import build_sgd, create_train_state
+    from eop_tpu.train.checkpoint import (
+        load_checkpoint,
+        load_ckpt_partial,
+        save_checkpoint,
+    )
+
+    model = YOLOX(depth=0.33, width=0.125, num_classes=3, reg_dim=26)
+    tx = build_sgd(0.01, momentum=0.9, weight_decay=5e-4, nesterov=True)
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), sample,
+        use_ema=True, with_dwa=True,
+    )
+    # make the saved weights distinguishable from a fresh init
+    state = state.replace(
+        params=jax.tree.map(lambda x: x + 1.5, state.params)
+    )
+    save_checkpoint(state, False, str(tmp_path), "latest",
+                    metadata={"start_epoch": 7})
+
+    fresh = create_train_state(
+        model, tx, jax.random.PRNGKey(1), sample,
+        use_ema=True, with_dwa=True,
+    )
+    payload = load_checkpoint(str(tmp_path / "latest_ckpt"))
+    assert payload["metadata"]["start_epoch"] == 7
+    merged, report = load_ckpt_partial(
+        jax.tree.map(np.asarray, fresh), payload["state"]
+    )
+    n_leaves = len(jax.tree.leaves(fresh))
+    assert len(report["loaded"]) == n_leaves, (
+        f"only {len(report['loaded'])}/{n_leaves} leaves restored; "
+        f"skipped: {report['skipped'][:5]}"
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(merged.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+        rtol=1e-6,
+    )
