@@ -142,17 +142,33 @@ class Exp24P(BaseExp):
             targets = out
         return inputs, targets
 
-    def get_optimizer(self, batch_size: int, iters_per_epoch: int = 1,
+    def get_optimizer(self, batch_size: int,
+                      iters_per_epoch: Optional[int] = None,
                       lr: Optional[float] = None):
-        """Plain nesterov SGD at a fixed lr (ref `get_optimizer:120-124`);
-        pass ``iters_per_epoch`` to enable the yoloxwarmcos schedule (an
-        upgrade the minimal reference trainer lacks)."""
+        """Plain nesterov SGD at a fixed lr — the reference's 24p choice
+        (`get_optimizer:120-124`).  Passing ``iters_per_epoch`` tabulates
+        the ``self.scheduler`` schedule per step (an upgrade the minimal
+        reference trainer lacks)."""
         from ..train.optimizer import build_sgd
 
         if lr is None:
             lr = self.basic_lr_per_img * batch_size
+        schedule = None
+        if iters_per_epoch is not None:
+            # tabulated like Exp.get_optimizer: optax calls the schedule
+            # with a traced step, so precompute the python scheduler
+            import jax.numpy as jnp
+            import numpy as np
+
+            sched = self.get_lr_scheduler(lr, iters_per_epoch)
+            total = max(iters_per_epoch * self.max_epoch, 1)
+            table = jnp.asarray(np.asarray(
+                [sched.lr_func(i) for i in range(total + 1)], np.float32
+            ))
+            schedule = lambda step: table[jnp.clip(step, 0, total)]
         return build_sgd(
-            lr, momentum=self.momentum,
+            schedule if schedule is not None else lr,
+            momentum=self.momentum,
             weight_decay=self.weight_decay, nesterov=True,
         )
 
@@ -167,12 +183,15 @@ class Exp24P(BaseExp):
             min_lr_ratio=self.min_lr_ratio,
         )
 
-    def random_resize(self):
+    def random_resize(self, step: int = 0):
+        """Deterministic in (exp.seed, step) so every host draws the same
+        size at the same training step (see Exp.random_resize)."""
         if self.random_size is None:
             min_size = int(self.input_size[0] / 32) - self.multiscale_range
             max_size = int(self.input_size[0] / 32) + self.multiscale_range
             self.random_size = (min_size, max_size)
-        size = random.randint(*self.random_size)
+        rng = random.Random(((self.seed or 0) * 1_000_003) ^ step)
+        size = rng.randint(*self.random_size)
         return (int(32 * size), int(32 * size))
 
     def get_eval_loader(self, batch_size):

@@ -30,15 +30,18 @@ _build_failed = False
 
 
 def _build() -> Optional[str]:
-    os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         _SRC, "-o", _SO_PATH,
     ]
     try:
+        # the makedirs lives inside the guard too: a read-only install
+        # (site-packages without write access) must fall back to the
+        # numpy matcher, not crash evaluation
+        os.makedirs(_BUILD_DIR, exist_ok=True)
         subprocess.run(cmd, check=True, capture_output=True)
         return _SO_PATH
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         return None
 
 

@@ -95,3 +95,53 @@ def load_ckpt_partial(template: Any, ckpt_tree: Any):
 
     merged = jax.tree_util.tree_map_with_path(merge, template)
     return merged, {"loaded": loaded, "skipped": skipped}
+
+
+def load_eval_variables(path: str, variables: Any, verbose: bool = True):
+    """Load inference weights from either a reference torch ``.pth`` or an
+    orbax checkpoint directory into a flax ``variables`` template.
+
+    Shared by the eval/show/demo CLIs (was triplicated there).  Orbax
+    checkpoints prefer the EMA weights *paired with the EMA batch stats*
+    (the reference's eval-with-EMA semantics, `yolox/utils/ema.py:42-53`);
+    ``.pth`` files go through the torch importer.
+    """
+    import jax
+    import numpy as np
+
+    if path.endswith(".pth"):
+        from ..utils.torch_import import (
+            convert_state_dict,
+            load_torch_checkpoint,
+            merge_into_variables,
+        )
+
+        sd = load_torch_checkpoint(path)
+        variables, report = merge_into_variables(
+            variables, convert_state_dict(sd), strict_shapes=False
+        )
+        if verbose:
+            print(f"loaded {len(report['loaded'])} tensors from {path}")
+        return variables
+
+    payload = load_checkpoint(path)
+    state = payload["state"]
+    use_ema = bool(state.get("ema_params"))
+    params = state["ema_params"] if use_ema else state["params"]
+    batch_stats = (
+        state.get("ema_batch_stats")
+        if use_ema and state.get("ema_batch_stats")
+        else state.get("batch_stats", {})
+    )
+    merged, report = load_ckpt_partial(
+        jax.tree.map(np.asarray, variables),
+        {"params": params, "batch_stats": batch_stats},
+    )
+    if verbose:
+        tag = "EMA" if use_ema else "raw"
+        print(
+            f"loaded {len(report['loaded'])} leaves ({tag}) from {path}"
+            + (f"; skipped {len(report['skipped'])}"
+               if report["skipped"] else "")
+        )
+    return jax.tree.map(np.asarray, merged)

@@ -66,10 +66,14 @@ def fuse_conv_bn(params: Dict, batch_stats: Dict, eps: float = BN_EPS):
     """Fold BN into sibling convs across the whole tree
     (ref `fuse_conv_and_bn` / `fuse_model`).
 
-    Returns (fused_params, empty_batch_stats_marker). Fused conv gains a
-    ``bias``; the ``bn`` subtree is replaced by identity parameters so the
-    module still applies cleanly (scale=1, bias=0, mean=0, var=1-eps
-    compensated).
+    Returns (fused_params, identity_batch_stats).  The multiplicative BN
+    factor folds into the conv kernel; the additive shift
+    ``beta − mean·gamma/std`` lands in the (kept, identity-normalized)
+    BN's ``bias`` — the convs are built with ``use_bias=False``, so a
+    ``conv/bias`` entry would be *silently ignored* by ``model.apply``
+    and the whole shift would be lost.  The fused forward is exactly
+    ``act(conv_scaled(x) + shift)``; XLA folds the remaining identity BN
+    arithmetic away at compile time.
     """
 
     def walk(p_node: Any, s_node: Any):
@@ -88,10 +92,15 @@ def fuse_conv_bn(params: Dict, batch_stats: Dict, eps: float = BN_EPS):
             fused_kernel = kernel * factor[None, None, None, :]
             fused_bias = beta + (conv_bias - mean) * factor
             out = dict(p_node)
-            out["conv"] = {"kernel": fused_kernel, "bias": fused_bias}
+            new_conv = dict(p_node["conv"], kernel=fused_kernel)
+            if "bias" in new_conv:
+                # the original conv bias is already accounted for inside
+                # fused_bias (it flowed through the BN affine)
+                new_conv["bias"] = jnp.zeros_like(new_conv["bias"])
+            out["conv"] = new_conv
             out["bn"] = {
                 "scale": jnp.ones_like(gamma),
-                "bias": jnp.zeros_like(beta),
+                "bias": fused_bias,
             }
             # recurse into any remaining sibling subtrees
             for k, v in p_node.items():

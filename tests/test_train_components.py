@@ -106,7 +106,7 @@ def test_fuse_conv_bn_single_block_exact():
     )
     variables = model.init(jax.random.PRNGKey(0), x, False)
     variables = jax.tree.map(
-        lambda v: v + 0.05 if v.ndim == 1 else v, variables
+        lambda v: v + 0.8 if v.ndim == 1 else v, variables
     )
     ref = model.apply(variables, x, False)
     fused_params, fused_stats = fuse_conv_bn(
@@ -135,7 +135,7 @@ def test_fuse_conv_bn_deep_stack():
     )
     variables = model.init(jax.random.PRNGKey(0), x, False)
     variables = jax.tree.map(
-        lambda v: v + 0.05 if v.ndim == 1 else v, variables
+        lambda v: v + 0.8 if v.ndim == 1 else v, variables
     )
     ref = model.apply(variables, x, False)
     fused_params, fused_stats = fuse_conv_bn(

@@ -240,32 +240,9 @@ def main():
         jnp.zeros((1, exp.test_size[0], exp.test_size[1], 3), jnp.float32),
     )
     if args.ckpt:
-        if args.ckpt.endswith(".pth"):
-            from eop_tpu.utils.torch_import import (
-                convert_state_dict,
-                load_torch_checkpoint,
-                merge_into_variables,
-            )
+        from eop_tpu.train.checkpoint import load_eval_variables
 
-            sd = load_torch_checkpoint(args.ckpt)
-            variables, report = merge_into_variables(
-                variables, convert_state_dict(sd), strict_shapes=False
-            )
-            print(f"loaded {len(report['loaded'])} tensors from ckpt")
-        else:
-            from eop_tpu.train.checkpoint import (
-                load_checkpoint,
-                load_ckpt_partial,
-            )
-
-            payload = load_checkpoint(args.ckpt)
-            state = payload["state"]
-            params = state.get("ema_params") or state["params"]
-            variables, _ = load_ckpt_partial(
-                jax.tree.map(np.asarray, variables),
-                {"params": params,
-                 "batch_stats": state.get("batch_stats", {})},
-            )
+        variables = load_eval_variables(args.ckpt, variables)
     print("Model Summary:",
           get_model_info(model, variables, exp.test_size))
     predictor = Predictor(model, variables, exp, COCO_CLASSES)

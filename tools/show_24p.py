@@ -68,34 +68,9 @@ class Evaluator:
         variables = init_model(model, rng, sample)
         w = self.args.weights
         if w:
-            if w.endswith(".pth"):
-                from eop_tpu.utils.torch_import import (
-                    convert_state_dict,
-                    load_torch_checkpoint,
-                    merge_into_variables,
-                )
+            from eop_tpu.train.checkpoint import load_eval_variables
 
-                sd = load_torch_checkpoint(w)
-                variables, report = merge_into_variables(
-                    variables, convert_state_dict(sd), strict_shapes=False
-                )
-                print(f"loaded {len(report['loaded'])} tensors from {w}")
-            else:
-                import jax
-
-                from eop_tpu.train.checkpoint import (
-                    load_checkpoint,
-                    load_ckpt_partial,
-                )
-
-                payload = load_checkpoint(w)
-                state = payload["state"]
-                params = state.get("ema_params") or state["params"]
-                variables, _ = load_ckpt_partial(
-                    jax.tree.map(np.asarray, variables),
-                    {"params": params,
-                     "batch_stats": state.get("batch_stats", {})},
-                )
+            variables = load_eval_variables(w, variables)
         return model, variables
 
     def eval(self):
