@@ -36,13 +36,17 @@ V5E_BF16_PEAK = 197e12  # FLOP/s
 
 
 def _measure_rtt(jnp, jax, x) -> float:
+    """Min over probes — the tunnel's occasional multi-second stalls
+    would otherwise inflate the constant subtracted from every
+    measurement."""
     f = jax.jit(lambda a: jnp.sum(a))
     float(f(x))
-    t0 = time.perf_counter()
-    n = 10
-    for _ in range(n):
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
         float(f(x))
-    return (time.perf_counter() - t0) / n
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _drain_time(run, fetch, iters: int, rtt: float, passes: int = 2) -> float:

@@ -14,7 +14,6 @@ class Exp(MyExp):
         self.random_size = (10, 20)
         self.mosaic_scale = (0.5, 1.5)
         self.test_size = (416, 416)
-        self.mosaic_prob = 0.5
         self.enable_mixup = False
         self.depthwise = True
         self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]

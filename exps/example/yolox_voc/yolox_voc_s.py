@@ -77,7 +77,17 @@ class Exp(MyExp):
             img_size=self.test_size,
             preproc=ValTransform(legacy=legacy),
         )
+        sampler = None
+        if is_distributed:
+            # per-host slice like the base class; the evaluator merges the
+            # per-host result dicts
+            from eop_tpu.parallel import dist
+
+            sampler = list(range(
+                dist.get_rank(), len(valdataset), dist.get_world_size()
+            ))
         return DataLoader(valdataset, batch_size=batch_size, shuffle=False,
+                          sampler=sampler,
                           num_workers=self.data_num_workers)
 
     def get_evaluator(self, batch_size, is_distributed=False, testdev=False,

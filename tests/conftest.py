@@ -4,11 +4,15 @@ run on a fake mesh, per the TPU-testing strategy in SURVEY.md §4)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override any preset (e.g. axon/TPU)
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# strip any pre-existing device-count flag, then force 8 (a leaked
+# XLA_FLAGS from a prior job would otherwise shrink the test mesh)
+_flags = " ".join(
+    f for f in os.environ.get("XLA_FLAGS", "").split()
+    if not f.startswith("--xla_force_host_platform_device_count")
+)
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 # Some installed packages import jax before this conftest runs; the config
 # route works as long as no backend has been initialized yet.

@@ -17,7 +17,14 @@ REF = "/root/reference"
 
 def _ensure_stub(name: str, **attrs) -> types.ModuleType:
     if name in sys.modules:
-        return sys.modules[name]
+        # a foreign module may already occupy the name (e.g. a stray
+        # top-level `utils`); graft the needed attrs onto it so the
+        # reference's `from utils import ...` still resolves
+        mod = sys.modules[name]
+        for k, v in attrs.items():
+            if not hasattr(mod, k):
+                setattr(mod, k, v)
+        return mod
     mod = types.ModuleType(name)
     for k, v in attrs.items():
         setattr(mod, k, v)
