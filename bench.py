@@ -68,13 +68,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    from eop_tpu.utils.setup_env import enable_compile_cache
+
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache")
+    )
 
     import optax
 
