@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--depth", type=float, default=0.33)
     ap.add_argument("--width", type=float, default=0.50)
     ap.add_argument("--no-trace", action="store_true")
+    ap.add_argument("--hlo-cost", action="store_true",
+                    help="also print estimated device cycles by source "
+                         "line from the compiled HLO (no trace needed)")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +71,14 @@ def main():
         make_train_step_24p(model, tx, Loss24PConfig(), ema_decay=0.9998),
         donate_argnums=(0,),
     )
+
+    if args.hlo_cost:
+        from eop_tpu.utils.hlo_cost import cost_by_source, format_table
+
+        txt = step.lower(
+            state, imgs, labels, jax.random.PRNGKey(1)
+        ).compile().as_text()
+        print(format_table(cost_by_source(txt, top=args.top)))
 
     t0 = time.perf_counter()
     state, metrics = step(state, imgs, labels, jax.random.PRNGKey(1))
