@@ -58,11 +58,16 @@ class Trainer:
         self.input_size = exp.input_size
         self.best_ap = 0.0
         self.meter = MeterBuffer(window_size=exp.print_interval)
+        from ..parallel.dist import get_rank, is_main_process
+
+        self.is_main = is_main_process()
         self.file_name = os.path.join(
             exp.output_dir, getattr(args, "experiment_name", exp.exp_name)
         )
-        os.makedirs(self.file_name, exist_ok=True)
-        setup_logger(self.file_name, 0, filename="train_log.txt", mode="a")
+        if self.is_main:
+            os.makedirs(self.file_name, exist_ok=True)
+        setup_logger(self.file_name, get_rank(),
+                     filename="train_log.txt", mode="a")
 
     # ------------------------------------------------------------------
 
@@ -153,14 +158,15 @@ class Trainer:
         self._mosaic_switched = False
 
         self.tblogger = None
-        try:
-            from tensorboardX import SummaryWriter
+        if self.is_main:
+            try:
+                from tensorboardX import SummaryWriter
 
-            self.tblogger = SummaryWriter(
-                os.path.join(self.file_name, "tensorboard")
-            )
-        except ImportError:
-            logger.info("tensorboardX unavailable; scalar logs only")
+                self.tblogger = SummaryWriter(
+                    os.path.join(self.file_name, "tensorboard")
+                )
+            except ImportError:
+                logger.info("tensorboardX unavailable; scalar logs only")
         logger.info("Training start...")
 
     def _get_step(self):
@@ -357,6 +363,8 @@ class Trainer:
         self.best_ap = max(self.best_ap, ap50_95)
 
     def save_ckpt(self, ckpt_name: str, update_best_ckpt: bool = False):
+        if not getattr(self, "is_main", True):
+            return  # one writer per checkpoint dir under multi-host
         logger.info(f"Save weights to {self.file_name}")
         save_checkpoint(
             self.state,

@@ -40,9 +40,14 @@ class Trainer24P:
         self.input_size = exp.input_size
         self.start_epoch = 0
 
+        from ..parallel.dist import get_rank, is_main_process
+
+        self.is_main = is_main_process()
         self.file_name = os.path.join(exp.output_dir, exp.exp_name)
-        os.makedirs(self.file_name, exist_ok=True)
-        setup_logger(self.file_name, 0, filename="train_log.txt")
+        if self.is_main:
+            os.makedirs(self.file_name, exist_ok=True)
+        # rank-0 writes the log file; other hosts keep stderr only
+        setup_logger(self.file_name, get_rank(), filename="train_log.txt")
 
         # args.batch_size is the GLOBAL batch; under multi-host the exp
         # divides it and the rank-strided sampler hands each process its
@@ -59,14 +64,15 @@ class Trainer24P:
         self.iters_per_epoch = len(self.train_loader)
 
         self.tblogger = None
-        try:
-            from tensorboardX import SummaryWriter
+        if self.is_main:
+            try:
+                from tensorboardX import SummaryWriter
 
-            self.tblogger = SummaryWriter(
-                os.path.join(self.file_name, "tensorboard")
-            )
-        except ImportError:
-            pass
+                self.tblogger = SummaryWriter(
+                    os.path.join(self.file_name, "tensorboard")
+                )
+            except ImportError:
+                pass
 
     def train(self):
         exp = self.exp
@@ -153,10 +159,11 @@ class Trainer24P:
             logger.info(
                 f"epoch {epoch + 1} done in {time.time() - epoch_start:.1f}s"
             )
-            save_checkpoint(
-                state, False, self.file_name, "last_epoch",
-                metadata={"start_epoch": epoch + 1},
-            )
+            if self.is_main:  # one writer per checkpoint dir
+                save_checkpoint(
+                    state, False, self.file_name, "last_epoch",
+                    metadata={"start_epoch": epoch + 1},
+                )
             if evaluator and (epoch + 1) % exp.eval_interval == 0:
                 use_ema = exp.ema and state.ema_params is not None
                 eval_vars = {
@@ -177,10 +184,11 @@ class Trainer24P:
                         "val/AP50_95", ap5095, epoch + 1)
                 if ap5095 > best_ap:
                     best_ap = ap5095
-                    save_checkpoint(
-                        state, True, self.file_name, "last_epoch",
-                        metadata={"start_epoch": epoch + 1},
-                    )
+                    if self.is_main:
+                        save_checkpoint(
+                            state, True, self.file_name, "last_epoch",
+                            metadata={"start_epoch": epoch + 1},
+                        )
         self.train_loader.shutdown()
         return state
 

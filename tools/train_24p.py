@@ -35,6 +35,17 @@ def make_parser():
     parser.add_argument("--eval", action="store_true",
                         help="evaluate COCO-24p AP every eval_interval "
                              "epochs (the reference trains blind)")
+    parser.add_argument("--multi-host", action="store_true",
+                        help="call jax.distributed.initialize() first")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of process 0 (omit on TPU pods "
+                             "where jax auto-detects)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="pin jax_platforms (e.g. cpu) BEFORE "
+                             "distributed init — device-plugin discovery "
+                             "can otherwise override the platform choice")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[],
                         help="exp overrides: key value ...")
     return parser
@@ -42,6 +53,20 @@ def make_parser():
 
 def main():
     args = make_parser().parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.multi_host:
+        import jax
+
+        kw = {}
+        if args.coordinator:
+            kw = dict(coordinator_address=args.coordinator,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+        jax.distributed.initialize(**kw)
+
     from eop_tpu.exp import get_exp
     from eop_tpu.train import Trainer24P
 
