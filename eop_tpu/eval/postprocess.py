@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.boxes import cxcywh2xyxy
-from ..ops.nms import batched_class_nms, nms
+from ..ops.boxes import bboxes_iou
+from ..ops.nms import _suppress
 from ..ops.polygon import polygon_points_from_radii
 
 
@@ -42,8 +43,9 @@ class Detections(NamedTuple):
         return jnp.sum(self.valid, axis=-1)
 
 
-def _select_rows(rows, keep, order, max_det):
-    """Compact kept rows (already score-sorted) into the first slots.
+def _select_rows(cand, keep, max_det):
+    """Compact kept candidate rows (already score-sorted) into the first
+    slots.
 
     Cumsum-scatter compaction instead of an argsort: sorts lower to a full
     per-row sort on TPU, the scatter is O(K).
@@ -51,8 +53,7 @@ def _select_rows(rows, keep, order, max_det):
     k = keep.shape[0]
     m = min(max_det, k)
     dest = jnp.where(keep, jnp.cumsum(keep) - 1, m)  # drop slot for ~keep
-    cand = rows[order]
-    out = jnp.zeros((m, rows.shape[-1]), rows.dtype)
+    out = jnp.zeros((m, cand.shape[-1]), cand.dtype)
     out = out.at[jnp.clip(dest, 0, m)].set(cand, mode="drop")
     n_kept = jnp.sum(keep)
     valid = jnp.arange(m) < jnp.minimum(n_kept, m)
@@ -72,27 +73,34 @@ def postprocess_bbox(
     """Returns rows [B, max_det, 7]: x1, y1, x2, y2, obj, cls_conf, cls."""
 
     def per_image(pred):
-        boxes = cxcywh2xyxy(pred[:, :4])
         obj = pred[:, 4]
         cls_conf = jnp.max(pred[:, 5 : 5 + num_classes], axis=1)
         cls_id = jnp.argmax(pred[:, 5 : 5 + num_classes], axis=1)
         scores = obj * cls_conf
-        if class_agnostic:
-            keep, order = nms(boxes, scores, nms_thre,
-                              conf_thre, nms_candidates,
-                              fixpoint_iters=nms_fixpoint_iters)
-        else:
-            keep, order = batched_class_nms(
-                boxes, scores, cls_id, nms_thre,
-                conf_thre, nms_candidates,
-                fixpoint_iters=nms_fixpoint_iters,
-            )
+        # top-K first; the box decode + output rows only matter for the
+        # NMS candidates (see postprocess_24p)
+        top_scores, order = jax.lax.top_k(
+            scores, min(nms_candidates, scores.shape[0])
+        )
+        cand = pred[order]  # one row gather (see postprocess_24p note)
+        boxes = cxcywh2xyxy(cand[:, :4])
+        c_obj = cand[:, 4]
+        c_cls_conf = jnp.take(cls_conf, order)
+        c_cls_id = jnp.take(cls_id, order)
+        valid = top_scores >= conf_thre
+        iou = bboxes_iou(boxes, boxes, xyxy=True)
+        same = (
+            None if class_agnostic
+            else c_cls_id[:, None] == c_cls_id[None, :]
+        )
+        keep = _suppress(iou, valid, nms_thre, same_class=same,
+                         fixpoint_iters=nms_fixpoint_iters)
         rows = jnp.concatenate(
-            [boxes, obj[:, None], cls_conf[:, None],
-             cls_id.astype(pred.dtype)[:, None]],
+            [boxes, c_obj[:, None], c_cls_conf[:, None],
+             c_cls_id.astype(pred.dtype)[:, None]],
             axis=1,
         )
-        return _select_rows(rows, keep, order, max_detections)
+        return _select_rows(rows, keep, max_detections)
 
     rows, valid = jax.vmap(per_image)(decoded)
     return Detections(rows=rows, valid=valid)
@@ -112,34 +120,44 @@ def postprocess_24p(
     """Returns rows [B, max_det, 29]: x, y, r1..r24, obj, cls_conf, cls."""
 
     def per_image(pred):
-        centers = pred[:, 0:2]
-        radii = pred[:, 2:26]
         obj = pred[:, 26]
         cls_conf = jnp.max(pred[:, 27 : 27 + num_classes], axis=1)
         cls_id = jnp.argmax(pred[:, 27 : 27 + num_classes], axis=1)
         scores = obj * cls_conf
 
+        # top-K FIRST: the polygon decode + enclosing-rect geometry and
+        # the output rows are only needed for the NMS candidates — doing
+        # them on all A anchors cost ~16x more (measured −3 ms/batch at
+        # B=128 on v5e)
+        top_scores, order = jax.lax.top_k(
+            scores, min(nms_candidates, scores.shape[0])
+        )
+        cand = pred[order]  # ONE row gather; narrow per-column gathers
+        # lower to pathological TPU gathers (measured 15x slower)
+        centers = cand[:, 0:2]
+        radii = cand[:, 2:26]
+        c_obj = cand[:, 26]
+        c_cls_conf = jnp.take(cls_conf, order)
+        c_cls_id = jnp.take(cls_id, order)
+
         pts = polygon_points_from_radii(centers, radii, reference_parity)
         boxes = jnp.concatenate(
             [jnp.min(pts, axis=1), jnp.max(pts, axis=1)], axis=-1
-        )  # [A, 4] xyxy enclosing rect
-
-        if class_agnostic:
-            keep, order = nms(boxes, scores, nms_thre,
-                              conf_thre, nms_candidates,
-                              fixpoint_iters=nms_fixpoint_iters)
-        else:
-            keep, order = batched_class_nms(
-                boxes, scores, cls_id, nms_thre,
-                conf_thre, nms_candidates,
-                fixpoint_iters=nms_fixpoint_iters,
-            )
+        )  # [K, 4] xyxy enclosing rect
+        valid = top_scores >= conf_thre
+        iou = bboxes_iou(boxes, boxes, xyxy=True)
+        same = (
+            None if class_agnostic
+            else c_cls_id[:, None] == c_cls_id[None, :]
+        )
+        keep = _suppress(iou, valid, nms_thre, same_class=same,
+                         fixpoint_iters=nms_fixpoint_iters)
         rows = jnp.concatenate(
-            [centers, radii, obj[:, None], cls_conf[:, None],
-             cls_id.astype(pred.dtype)[:, None]],
+            [centers, radii, c_obj[:, None], c_cls_conf[:, None],
+             c_cls_id.astype(pred.dtype)[:, None]],
             axis=1,
         )
-        return _select_rows(rows, keep, order, max_detections)
+        return _select_rows(rows, keep, max_detections)
 
     rows, valid = jax.vmap(per_image)(decoded)
     return Detections(rows=rows, valid=valid)
