@@ -171,7 +171,7 @@ def main():
         return m["total_loss"]
 
     float(run_step())  # compile + warm
-    t_t = _drain_time(run_step, float, 15, rtt)
+    t_t = _drain_time(run_step, float, 15, rtt, passes=3)
     extra["train_step_24p_640px_b32"] = {
         "value": round(t_t * 1e3, 2), "unit": "ms/step",
         "img_per_sec": round(BT / t_t, 1),
