@@ -27,8 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.boxes import cxcywh2xyxy
-from ..ops.boxes import bboxes_iou
-from ..ops.nms import _suppress
+from ..ops.nms import nms_on_candidates
 from ..ops.polygon import polygon_points_from_radii
 
 
@@ -87,14 +86,11 @@ def postprocess_bbox(
         c_obj = cand[:, 4]
         c_cls_conf = jnp.take(cls_conf, order)
         c_cls_id = jnp.take(cls_id, order)
-        valid = top_scores >= conf_thre
-        iou = bboxes_iou(boxes, boxes, xyxy=True)
-        same = (
-            None if class_agnostic
-            else c_cls_id[:, None] == c_cls_id[None, :]
+        keep = nms_on_candidates(
+            boxes, top_scores >= conf_thre, nms_thre,
+            class_ids=None if class_agnostic else c_cls_id,
+            fixpoint_iters=nms_fixpoint_iters,
         )
-        keep = _suppress(iou, valid, nms_thre, same_class=same,
-                         fixpoint_iters=nms_fixpoint_iters)
         rows = jnp.concatenate(
             [boxes, c_obj[:, None], c_cls_conf[:, None],
              c_cls_id.astype(pred.dtype)[:, None]],
@@ -144,14 +140,11 @@ def postprocess_24p(
         boxes = jnp.concatenate(
             [jnp.min(pts, axis=1), jnp.max(pts, axis=1)], axis=-1
         )  # [K, 4] xyxy enclosing rect
-        valid = top_scores >= conf_thre
-        iou = bboxes_iou(boxes, boxes, xyxy=True)
-        same = (
-            None if class_agnostic
-            else c_cls_id[:, None] == c_cls_id[None, :]
+        keep = nms_on_candidates(
+            boxes, top_scores >= conf_thre, nms_thre,
+            class_ids=None if class_agnostic else c_cls_id,
+            fixpoint_iters=nms_fixpoint_iters,
         )
-        keep = _suppress(iou, valid, nms_thre, same_class=same,
-                         fixpoint_iters=nms_fixpoint_iters)
         rows = jnp.concatenate(
             [centers, radii, c_obj[:, None], c_cls_conf[:, None],
              c_cls_id.astype(pred.dtype)[:, None]],

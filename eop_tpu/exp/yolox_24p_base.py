@@ -155,17 +155,12 @@ class Exp24P(BaseExp):
             lr = self.basic_lr_per_img * batch_size
         schedule = None
         if iters_per_epoch is not None:
-            # tabulated like Exp.get_optimizer: optax calls the schedule
-            # with a traced step, so precompute the python scheduler
-            import jax.numpy as jnp
-            import numpy as np
+            from ..train.lr_schedule import tabulate_schedule
 
-            sched = self.get_lr_scheduler(lr, iters_per_epoch)
-            total = max(iters_per_epoch * self.max_epoch, 1)
-            table = jnp.asarray(np.asarray(
-                [sched.lr_func(i) for i in range(total + 1)], np.float32
-            ))
-            schedule = lambda step: table[jnp.clip(step, 0, total)]
+            schedule = tabulate_schedule(
+                self.get_lr_scheduler(lr, iters_per_epoch),
+                iters_per_epoch * self.max_epoch,
+            )
         return build_sgd(
             schedule if schedule is not None else lr,
             momentum=self.momentum,

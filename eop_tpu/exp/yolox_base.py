@@ -212,22 +212,14 @@ class Exp(BaseExp):
         scheduler is tabulated once over the full run and looked up on
         device.
         """
-        import jax.numpy as jnp
-
+        from ..train.lr_schedule import tabulate_schedule
         from ..train.optimizer import build_sgd
 
         lr = self.basic_lr_per_img * batch_size
         sched = self.get_lr_scheduler(lr, iters_per_epoch)
-        total = max(iters_per_epoch * self.max_epoch, 1)
-        table = jnp.asarray(
-            np.asarray(
-                [sched.lr_func(i) for i in range(total + 1)], np.float32
-            )
+        schedule = tabulate_schedule(
+            sched, iters_per_epoch * self.max_epoch
         )
-
-        def schedule(step):
-            return table[jnp.clip(step, 0, total)]
-
         return build_sgd(
             schedule,
             momentum=self.momentum,

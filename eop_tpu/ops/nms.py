@@ -76,6 +76,34 @@ def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
     return jax.lax.fori_loop(0, iters, body, valid)
 
 
+def nms_on_candidates(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    class_ids: jnp.ndarray | None = None,
+    fixpoint_iters: int | None = None,
+) -> jnp.ndarray:
+    """NMS over candidates ALREADY sorted by descending score.
+
+    The shared core of `nms`/`batched_class_nms` and the postprocess
+    paths (which pre-select their candidates with their own top-k).
+
+    Args:
+      boxes: [K, 4] xyxy, score-sorted.
+      valid: [K] bool — candidate passes the score threshold.
+      class_ids: optional [K] — boxes of different classes never
+        suppress each other (torchvision `batched_nms` semantics).
+    Returns: keep [K] bool.
+    """
+    iou = bboxes_iou(boxes, boxes, xyxy=True)
+    same = (
+        None if class_ids is None
+        else class_ids[:, None] == class_ids[None, :]
+    )
+    return _suppress(iou, valid, iou_threshold, same_class=same,
+                     fixpoint_iters=fixpoint_iters)
+
+
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -104,11 +132,10 @@ def nms(
     n = boxes.shape[0]
     k = n if max_candidates is None else min(max_candidates, n)
     top_scores, order = jax.lax.top_k(scores, k)
-    cand = boxes[order]
-    valid = top_scores >= score_threshold
-    iou = bboxes_iou(cand, cand, xyxy=True)
-    keep = _suppress(iou, valid, iou_threshold,
-                     fixpoint_iters=fixpoint_iters)
+    keep = nms_on_candidates(
+        boxes[order], top_scores >= score_threshold, iou_threshold,
+        fixpoint_iters=fixpoint_iters,
+    )
     return keep, order
 
 
@@ -135,11 +162,8 @@ def batched_class_nms(
     n = boxes.shape[0]
     k = n if max_candidates is None else min(max_candidates, n)
     top_scores, order = jax.lax.top_k(scores, k)
-    cand = boxes[order]
-    cand_cls = class_ids[order]
-    valid = top_scores >= score_threshold
-    iou = bboxes_iou(cand, cand, xyxy=True)
-    same_class = cand_cls[:, None] == cand_cls[None, :]
-    keep = _suppress(iou, valid, iou_threshold, same_class,
-                     fixpoint_iters=fixpoint_iters)
+    keep = nms_on_candidates(
+        boxes[order], top_scores >= score_threshold, iou_threshold,
+        class_ids=class_ids[order], fixpoint_iters=fixpoint_iters,
+    )
     return keep, order

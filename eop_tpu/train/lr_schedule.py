@@ -178,3 +178,24 @@ class LRScheduler:
 
     def update_lr(self, iters: int) -> float:
         return self.lr_func(iters)
+
+
+def tabulate_schedule(sched, total_iters: int):
+    """Python LR scheduler -> on-device lookup table.
+
+    optax calls schedules with a traced step count, so the python
+    scheduler is evaluated once over the full run and looked up on
+    device.  Shared by Exp/Exp24P.get_optimizer.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    total = max(total_iters, 1)
+    table = jnp.asarray(np.asarray(
+        [sched.lr_func(i) for i in range(total + 1)], np.float32
+    ))
+
+    def schedule(step):
+        return table[jnp.clip(step, 0, total)]
+
+    return schedule

@@ -149,7 +149,10 @@ class Trainer:
         self.batch_sharding = batch_sharded(self.mesh)
         self._steps = {}  # (use_l1,) -> compiled step
         self.evaluator = (
-            exp.get_evaluator(batch_size=batch_size)
+            # both halves of distributed eval wired together: the
+            # loader slices the val set per host, evaluate() gathers
+            exp.get_evaluator(batch_size=batch_size,
+                              is_distributed=nproc > 1)
             if getattr(args, "data_available", True) and exp.data_dir
             else None
         )
@@ -351,7 +354,8 @@ class Trainer:
             else self.state.batch_stats,
         }
         ap50_95, ap50, summary = self.exp.eval(
-            self.model, eval_vars, self.evaluator
+            self.model, eval_vars, self.evaluator,
+            is_distributed=jax.process_count() > 1,
         )
         logger.info(f"\n{summary}")
         if self.tblogger:

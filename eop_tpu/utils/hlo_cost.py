@@ -27,7 +27,7 @@ def cost_by_source(
 ) -> List[Tuple[str, str, float]]:
     """[(file:line, op_name_prefix, est_ms)] sorted by descending cost."""
     agg: Counter = Counter()
-    for m in re.finditer(r"^\s+%\S+ = .*$", hlo_text, re.M):
+    for m in re.finditer(r"^\s+(?:ROOT )?%\S+ = .*$", hlo_text, re.M):
         line = m.group(0)
         cyc = re.search(r'"estimated_cycles":"(\d+)"', line)
         if not cyc:

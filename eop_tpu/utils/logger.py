@@ -58,10 +58,21 @@ def redirect_sys_output(log_level=logging.INFO):
 def setup_logger(save_dir=None, distributed_rank: int = 0,
                  filename: str = "log.txt", mode: str = "a",
                  redirect: bool = False):
-    """Rank-0 file+stderr sinks (ref `setup_logger:63-96`)."""
+    """Rank-0 file+stderr sinks (ref `setup_logger:63-96`).
+
+    Non-zero ranks keep a WARNING-level stderr handler (the reference
+    silences them entirely, but a host that crashes or diverges must not
+    fail blind in multi-host runs)."""
     logger.setLevel(logging.INFO)
     logger.propagate = False  # avoid double prints via the root logger
     logger.handlers.clear()
+    if distributed_rank != 0:
+        sh = logging.StreamHandler(sys.__stderr__)
+        sh.setLevel(logging.WARNING)
+        sh.setFormatter(logging.Formatter(
+            f"[rank {distributed_rank}] " + _FORMAT
+        ))
+        logger.addHandler(sh)
     if distributed_rank == 0:
         sh = logging.StreamHandler(sys.__stderr__)
         sh.setFormatter(logging.Formatter(_FORMAT))

@@ -169,4 +169,4 @@ def test_hlo_cost_by_source():
     assert "estimated device time" in table
     if rows:
         key, opn, ms = rows[0]
-        assert ms >= 0 and ":" in key or key == "?"
+        assert ms >= 0 and (":" in key or key == "?")
