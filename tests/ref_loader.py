@@ -35,8 +35,6 @@ def _ensure_stub(name: str, **attrs) -> types.ModuleType:
 class _DummyLogger:
     def __getattr__(self, _):
         def _noop(*a, **k):
-            if _ == "catch":
-                return a[0] if a else (lambda f: f)
             return None
 
         return _noop

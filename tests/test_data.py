@@ -141,10 +141,12 @@ def test_infinite_sampler_rank_split():
 
     a = list(itertools.islice(iter(s0), 10))
     b = list(itertools.islice(iter(s1), 10))
-    assert not set(zip(a, b)) & {(x, x) for x in range(10)} or a != b
-    # together they cover the full permutation stream
+    # the two ranks must never collide at any stream position
+    assert all(x != y for x, y in zip(a, b)), (a, b)
+    # together they cover the full permutation stream, epoch after epoch
     merged = [v for pair in zip(a, b) for v in pair]
     assert sorted(merged[:10]) == list(range(10))
+    assert sorted(merged[10:20]) == list(range(10))
 
 
 # ---------------------------------------------------------------------------

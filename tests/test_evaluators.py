@@ -234,20 +234,59 @@ def test_coco_evaluator_fwd_nms_timing_split(coco_val_dir):
     assert "Average inference time" in summary
 
 
-def test_coco_evaluator_distributed_single_process(coco_eval_setup=None):
-    """evaluate(distributed=True) must round-trip detections through the
-    object all_gather unchanged (world=1 here; the multi-process transport
-    itself is exercised in tests/test_multihost.py)."""
+def test_coco_evaluator_distributed_single_process(coco_val_dir):
+    """evaluate(distributed=True) must run the gather branch and produce
+    the same AP as the non-distributed path (world=1 here; the
+    multi-process transport itself is exercised in
+    tests/test_multihost.py).  Regression guard: this branch once
+    flattened the result dicts into their KEYS via process_allgather."""
     from eop_tpu.parallel.dist import all_gather
 
     # the transport invariant the evaluator relies on: lists of result
     # dicts come back intact (not flattened to dict keys)
     payload = [{"image_id": 1, "bbox": [1.0, 2.0, 3.0, 4.0],
                 "score": 0.5, "category_id": 2, "segmentation": []}]
-    out = all_gather(payload)
-    assert out == [payload]
+    assert all_gather(payload) == [payload]
 
-    import itertools
+    img_size = (128, 128)
+    ds = COCODataset(
+        data_dir=coco_val_dir, json_file="instances_val2017.json",
+        name="val2017", img_size=img_size, preproc=ValTransform(),
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=0)
+    evaluator = COCOEvaluator(
+        loader, img_size=img_size, confthre=0.01, nmsthre=0.65,
+        num_classes=2,
+    )
+    max_det = 10
 
-    merged = list(itertools.chain(*out))
-    assert merged == payload
+    class Oracle:
+        def __init__(self):
+            self.idx = 0
+            self._cache = {}
+
+        def __call__(self, imgs):
+            key = hash(np.asarray(imgs).tobytes())
+            if key not in self._cache:
+                self._cache[key] = self._compute(imgs)
+            return self._cache[key]
+
+        def _compute(self, imgs):
+            b = imgs.shape[0]
+            rows = np.zeros((b, max_det, 7), np.float32)
+            valid = np.zeros((b, max_det), bool)
+            for i in range(b):
+                anno = ds.annotations[self.idx][0]
+                n = min(len(anno), max_det)
+                rows[i, :n, 0:4] = anno[:n, 0:4]
+                rows[i, :n, 4] = 0.9
+                rows[i, :n, 5] = 1.0
+                rows[i, :n, 6] = anno[:n, 4]
+                valid[i, :n] = True
+                self.idx += 1
+            return Detections(rows=jnp.asarray(rows),
+                              valid=jnp.asarray(valid))
+
+    ap5095, ap50, _ = evaluator.evaluate(Oracle(), distributed=True)
+    assert ap50 == pytest.approx(1.0, abs=1e-6)
+    assert ap5095 == pytest.approx(1.0, abs=1e-2)

@@ -119,7 +119,7 @@ def test_sharded_inference_matches_single_device():
     exp.num_classes = 4
     exp.depth, exp.width = 0.33, 0.25
     exp.test_size = (128, 128)
-    exp.test_conf = 0.01
+    exp.test_conf = 1e-4  # random init scores ~5e-3: keep a non-degenerate scene
     model = exp.get_model()
     from eop_tpu.models import init_model
 
@@ -143,4 +143,4 @@ def test_sharded_inference_matches_single_device():
 
     np.testing.assert_allclose(ref.rows, got.rows, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(ref.valid, got.valid)
-    assert np.asarray(got.valid).sum() >= 0  # shape/transfer sanity
+    assert np.asarray(got.valid).sum() > 0  # non-degenerate scene

@@ -92,8 +92,11 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         merged["params"]["a"], state["params"]["a"]
     )
-    assert any("b" in k for (k, *_rest) in
-               [(s[0], ) for s in report["skipped"]])
+    skipped_keys = [entry[0] for entry in report["skipped"]]
+    assert any(k.endswith("b") or k.split("/")[-1] == "b"
+               for k in skipped_keys), skipped_keys
+    # and the well-shaped leaf must NOT be in the skip list
+    assert not any(k.endswith("/a") for k in skipped_keys), skipped_keys
 
 
 def test_fuse_conv_bn_single_block_exact():
@@ -125,7 +128,8 @@ def test_fuse_conv_bn_single_block_exact():
 
 def test_fuse_conv_bn_deep_stack():
     """Through a deep CSP stack the fold reassociates f32 math; outputs
-    stay equal to ~3e-3 absolute."""
+    stay equal to ~1e-2 absolute (XLA-CPU reduced-precision convs
+    compound through ~15 layers)."""
     from eop_tpu.models.darknet import CSPDarknet
     from eop_tpu.utils.model_utils import fuse_conv_bn
 

@@ -131,8 +131,11 @@ def test_voc_real_model_e2e(tmp_path):
     devkit.mkdir()
     _write_voc(str(devkit), n_images=3, seed=3)
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "_voc_exp", "exps/example/yolox_voc/yolox_voc_s.py"
+        "_voc_exp",
+        os.path.join(repo, "exps", "example", "yolox_voc",
+                     "yolox_voc_s.py"),
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
