@@ -20,78 +20,64 @@ from __future__ import annotations
 
 import os
 import warnings
+from pathlib import Path
 
 import cv2
 import numpy as np
 
 from .augment import preproc
+from .cached_dataset import fit_resize
 from .datasets_wrapper import Dataset
 
 
 class COCO24PDataset(Dataset):
-    """COCO-24P dataset over per-image txt label files (ref `:11-131`)."""
+    """COCO-24P dataset over per-image txt label files (ref `:11-131`).
+
+    All label rows load into RAM at construction (they are tiny); images
+    are decoded and fit-resized lazily per item, so raw image sizes are
+    discovered at load time rather than pre-indexed.
+    """
 
     def __init__(self, data_dir: str, label_dir: str, img_size=(640, 640),
                  preproc=None):
         super().__init__(img_size)
         self.data_dir = data_dir
         self.label_dir = label_dir
-        self.coco24p_dict, self.image_list = self.load_label_from_txt()
-        self.item_numb = len(self.coco24p_dict)
-        self.imgs = None
         self.img_size = img_size
         self.preproc = preproc
+        self.imgs = None
+
+        self.coco24p_dict = {}
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # np.loadtxt on 1-row files
+            for txt in sorted(Path(label_dir).glob("*.txt")):
+                self.coco24p_dict[txt.stem] = np.loadtxt(
+                    txt, dtype=float, ndmin=2
+                )
+        self.image_list = [f"{stem}.jpg" for stem in self.coco24p_dict]
 
     def __len__(self):
-        return self.item_numb
+        return len(self.image_list)
 
-    def load_label_from_txt(self):
-        """Load every label txt into RAM up-front (ref `:37-50`)."""
-        label_dict = {}
-        image_list = []
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            for label in sorted(os.listdir(self.label_dir)):
-                if not label.endswith(".txt"):
-                    continue
-                info = np.loadtxt(
-                    os.path.join(self.label_dir, label), dtype=float
-                )
-                label_dict[label.split(".")[0]] = info
-                image_list.append(label.replace("txt", "jpg"))
-        return label_dict, image_list
-
-    def load_image(self, img_name):
-        img_file = os.path.join(self.data_dir, img_name)
-        img = cv2.imread(img_file)
-        assert img is not None, f"image {img_file} not found"
-        return img, img.shape[0], img.shape[1]
-
-    def load_resized_img(self, img_name):
-        img, ori_h, ori_w = self.load_image(img_name)
-        r = min(
-            self.img_size[0] / img.shape[0], self.img_size[1] / img.shape[1]
-        )
-        resized = cv2.resize(
-            img,
-            (int(img.shape[1] * r), int(img.shape[0] * r)),
-            interpolation=cv2.INTER_LINEAR,
-        ).astype(np.uint8)
-        return resized, r, ori_h, ori_w
+    def load_image(self, img_name: str) -> np.ndarray:
+        path = os.path.join(self.data_dir, img_name)
+        img = cv2.imread(path)
+        assert img is not None, f"image {path} not found"
+        return img
 
     def load_anno(self, index):
-        key = self.image_list[index].split(".")[0]
-        return self.coco24p_dict[key]
+        return self.coco24p_dict[Path(self.image_list[index]).stem]
 
     def pull_item(self, index):
-        img_name = self.image_list[index]
-        key = img_name.split(".")[0]
-        label_info = self.coco24p_dict[key]
-        if len(label_info.shape) == 1:
-            label_info = label_info[np.newaxis, :]
-        img_id = int(key)
-        img, r, ori_h, ori_w = self.load_resized_img(img_name)
-        return img, label_info, (ori_h, ori_w), np.array([img_id])
+        stem = Path(self.image_list[index]).stem
+        raw = self.load_image(self.image_list[index])
+        img, _ = fit_resize(raw, self.img_size)
+        return (
+            img,
+            self.coco24p_dict[stem],
+            raw.shape[:2],
+            np.array([int(stem)]),
+        )
 
     @Dataset.mosaic_getitem
     def __getitem__(self, index):

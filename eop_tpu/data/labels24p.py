@@ -28,15 +28,14 @@ import numpy as np
 
 from .coco_api import COCO
 
-# COCO category id -> contiguous 0-79 training id (ref `:36-51`).
+# COCO category id -> contiguous 0-79 training id (ref `:36-51`).  The
+# published 2017 category ids are 1..90 with ten gaps (categories removed
+# before release); the contiguous id is the rank among the survivors.
+_RETIRED_COCO_IDS = {12, 26, 29, 30, 45, 66, 68, 69, 71, 83}
 COCO_ID2IDX = {
     cid: idx
     for idx, cid in enumerate(
-        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19,
-         20, 21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38,
-         39, 40, 41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55,
-         56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75,
-         76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90]
+        c for c in range(1, 91) if c not in _RETIRED_COCO_IDS
     )
 }
 
@@ -48,8 +47,8 @@ def ray_cast_24(center_x: float, center_y: float,
     Returns (cord_results [24, 2] int, radius_results [24] float) with the
     reference's exact pixel semantics.
     """
-    img_h, img_w = mask.shape[0], mask.shape[1]
-    max_line = int(np.sqrt(img_h**2 + img_w**2))
+    img_h, img_w = mask.shape[:2]
+    max_line = int(np.hypot(img_h, img_w))
     steps = np.arange(0, max_line, 0.2)
     base = np.stack([steps, np.zeros_like(steps)])  # [2, L]
 
@@ -148,9 +147,9 @@ class Polygon24:
                 img_cache[name] = (img_h, img_w)
             else:
                 continue
-            img_diag = np.sqrt(img_h**2 + img_w**2)
-            obj_x = anno["bbox"][0] + anno["bbox"][2] / 2
-            obj_y = anno["bbox"][1] + anno["bbox"][3] / 2
+            img_diag = np.hypot(img_h, img_w)
+            bbox = np.asarray(anno["bbox"], dtype=np.float64)
+            obj_x, obj_y = bbox[:2] + bbox[2:4] / 2
             cur_mask = self.coco.annToMask(anno)
             cur_24p, cur_24r = ray_cast_24(obj_x, obj_y, cur_mask)
             cur_24r = cur_24r / img_diag

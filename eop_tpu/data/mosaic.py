@@ -1,10 +1,18 @@
 """Mosaic + MixUp/CopyPaste augmentation wrapper.
 
-Parity target: `/root/reference/yolox/data/datasets/mosaicdetection.py` —
-4-image mosaic into a 2x canvas with a random centre, random affine, and
-the 0.5-blend jitter-scaled MixUp.  Randomness goes through an explicit
-``np.random.Generator`` (seedable per worker) instead of the global
-``random`` module.
+Capability parity with
+`/root/reference/yolox/data/datasets/mosaicdetection.py:16-234` (4-image
+mosaic on a double-size canvas with a random centre, random affine down to
+the target size, and a 0.5-blend jitter-scaled MixUp), with an independent
+design:
+
+- quadrant geometry is a single 1-D ``_span`` rule applied per axis/side
+  instead of four hand-written rectangle branches;
+- the MixUp donor is scaled once by the combined fit·jitter ratio (the
+  reference resizes twice, letting pad pixels bleed through the second
+  interpolation);
+- randomness goes through an explicit ``np.random.Generator`` (seedable
+  per worker) instead of the global ``random`` module.
 """
 
 from __future__ import annotations
@@ -12,32 +20,39 @@ from __future__ import annotations
 import cv2
 import numpy as np
 
-from ..ops.boxes import adjust_box_anns
 from .augment import random_affine
 from .datasets_wrapper import Dataset
 
+_PAD_VALUE = 114
+
+
+def _span(center: int, extent: int, limit: int, forward: bool):
+    """Paste interval and source-crop start for one mosaic axis.
+
+    ``forward`` tiles grow from the centre toward +axis; backward tiles end
+    at the centre.  Overflow is clipped at the canvas ([0, limit]) and the
+    source crop keeps the edge nearest the centre.
+    """
+    if forward:
+        lo, hi = center, min(center + extent, limit)
+        src = 0
+    else:
+        lo, hi = max(center - extent, 0), center
+        src = extent - (hi - lo)
+    return lo, hi, src
+
 
 def get_mosaic_coordinate(mosaic_index, xc, yc, w, h, input_h, input_w):
-    """Paste rectangles for the 4 mosaic quadrants (ref `:16-34`)."""
-    if mosaic_index == 0:  # top-left
-        x1, y1, x2, y2 = max(xc - w, 0), max(yc - h, 0), xc, yc
-        small = w - (x2 - x1), h - (y2 - y1), w, h
-    elif mosaic_index == 1:  # top-right
-        x1, y1, x2, y2 = xc, max(yc - h, 0), min(xc + w, input_w * 2), yc
-        small = 0, h - (y2 - y1), min(w, x2 - x1), h
-    elif mosaic_index == 2:  # bottom-left
-        x1, y1, x2, y2 = max(xc - w, 0), yc, xc, min(input_h * 2, yc + h)
-        small = w - (x2 - x1), 0, w, min(y2 - y1, h)
-    else:  # bottom-right
-        x1, y1, x2, y2 = (
-            xc, yc, min(xc + w, input_w * 2), min(input_h * 2, yc + h)
-        )
-        small = 0, 0, min(w, x2 - x1), min(y2 - y1, h)
-    return (x1, y1, x2, y2), small
+    """Quadrant paste rect on the 2x canvas + matching source-crop rect.
+
+    Quadrants are indexed 0..3 = TL, TR, BL, BR around (xc, yc)."""
+    x0, x1, sx = _span(xc, w, 2 * input_w, forward=mosaic_index in (1, 3))
+    y0, y1, sy = _span(yc, h, 2 * input_h, forward=mosaic_index in (2, 3))
+    return (x0, y0, x1, y1), (sx, sy, sx + (x1 - x0), sy + (y1 - y0))
 
 
 class MosaicDetection(Dataset):
-    """Mosaic/MixUp wrapper around a detection dataset (ref `:37-234`)."""
+    """Mosaic/MixUp wrapper around a detection dataset."""
 
     def __init__(
         self, dataset, img_size, mosaic=True, preproc=None,
@@ -67,165 +82,131 @@ class MosaicDetection(Dataset):
     def __len__(self):
         return len(self._dataset)
 
+    # -- mosaic composition --------------------------------------------------
+
+    def _fit_tile(self, index, input_h, input_w):
+        """Pull one sample and scale it to fit the (input_h, input_w) cell."""
+        img, labels, _, img_id = self._dataset.pull_item(index)
+        h0, w0 = img.shape[:2]
+        s = min(input_h / h0, input_w / w0)
+        img = cv2.resize(img, (int(w0 * s), int(h0 * s)),
+                         interpolation=cv2.INTER_LINEAR)
+        return img, labels.copy(), s, img_id
+
+    def _compose_mosaic(self, idx, input_h, input_w):
+        """Tile 4 samples around a random centre on a 2x canvas."""
+        rng = self.rng
+        yc = int(rng.uniform(0.5 * input_h, 1.5 * input_h))
+        xc = int(rng.uniform(0.5 * input_w, 1.5 * input_w))
+        picks = [idx] + list(rng.integers(0, len(self._dataset), 3))
+
+        canvas = None
+        shifted = []
+        for quadrant, index in enumerate(picks):
+            tile, labels, s, img_id = self._fit_tile(index, input_h, input_w)
+            th, tw = tile.shape[:2]
+            if canvas is None:
+                canvas = np.full(
+                    (2 * input_h, 2 * input_w, tile.shape[2]),
+                    _PAD_VALUE, dtype=np.uint8,
+                )
+                primary_id = img_id
+            (x0, y0, x1, y1), (sx0, sy0, sx1, sy1) = get_mosaic_coordinate(
+                quadrant, xc, yc, tw, th, input_h, input_w
+            )
+            canvas[y0:y1, x0:x1] = tile[sy0:sy1, sx0:sx1]
+            if labels.size:
+                labels[:, :4] = labels[:, :4] * s + np.tile(
+                    [x0 - sx0, y0 - sy0], 2
+                )
+                shifted.append(labels)
+
+        if shifted:
+            merged = np.concatenate(shifted, axis=0)
+            np.clip(
+                merged[:, :4], 0.0,
+                [2 * input_w, 2 * input_h] * 2, out=merged[:, :4],
+            )
+        else:
+            merged = np.zeros((0, 5), dtype=np.float32)
+        return canvas, merged, primary_id
+
+    # -- mixup ---------------------------------------------------------------
+
+    def _pick_donor(self):
+        """A random sample guaranteed to carry at least one annotation."""
+        while True:
+            i = int(self.rng.integers(0, len(self._dataset)))
+            if len(self._dataset.load_anno(i)) > 0:
+                return self._dataset.pull_item(i)
+
+    def mixup(self, origin_img, origin_labels, input_dim):
+        """0.5-blend a jitter-scaled (optionally flipped) donor sample and
+        append its (shifted, clipped) boxes."""
+        rng = self.rng
+        jit = rng.uniform(*self.mixup_scale)
+        flip = rng.random() < 0.5
+        donor, donor_labels, _, _ = self._pick_donor()
+
+        # donor frame: fit-to-input ratio x jitter, on a 114 canvas
+        ratio = jit * min(input_dim[0] / donor.shape[0],
+                          input_dim[1] / donor.shape[1])
+        fh, fw = int(input_dim[0] * jit), int(input_dim[1] * jit)
+        channels = (donor.shape[2],) if donor.ndim == 3 else ()
+        frame = np.full((fh, fw, *channels), _PAD_VALUE, dtype=np.uint8)
+        scaled = cv2.resize(
+            donor,
+            (int(donor.shape[1] * ratio), int(donor.shape[0] * ratio)),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        frame[: scaled.shape[0], : scaled.shape[1]] = scaled
+        if flip:
+            frame = frame[:, ::-1]
+
+        # random crop of the frame at the mosaic's size
+        th, tw = origin_img.shape[:2]
+        stage = np.zeros((max(fh, th), max(fw, tw), 3), dtype=np.uint8)
+        stage[:fh, :fw] = frame
+        oy = int(rng.integers(0, stage.shape[0] - th)) if stage.shape[0] > th else 0
+        ox = int(rng.integers(0, stage.shape[1] - tw)) if stage.shape[1] > tw else 0
+        patch = stage[oy: oy + th, ox: ox + tw]
+
+        # donor boxes through the same scale / flip / crop chain
+        boxes = donor_labels[:, :4] * ratio
+        np.clip(boxes, 0.0, [fw, fh, fw, fh], out=boxes)
+        if flip:
+            boxes[:, [0, 2]] = fw - boxes[:, [2, 0]]
+        boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]] - ox, 0, tw)
+        boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]] - oy, 0, th)
+
+        blended = (
+            0.5 * origin_img.astype(np.float32) + 0.5 * patch.astype(np.float32)
+        ).astype(np.uint8)
+        rows = np.concatenate([boxes, donor_labels[:, 4:5]], axis=1)
+        return blended, np.concatenate([origin_labels, rows], axis=0)
+
+    # -- item protocol -------------------------------------------------------
+
     @Dataset.mosaic_getitem
     def __getitem__(self, idx):
         rng = self.rng
         if self.enable_mosaic and rng.random() < self.mosaic_prob:
-            mosaic_labels = []
             input_h, input_w = self._dataset.input_dim[:2]
-
-            yc = int(rng.uniform(0.5 * input_h, 1.5 * input_h))
-            xc = int(rng.uniform(0.5 * input_w, 1.5 * input_w))
-            indices = [idx] + [
-                int(rng.integers(0, len(self._dataset))) for _ in range(3)
-            ]
-
-            mosaic_img = None
-            for i_mosaic, index in enumerate(indices):
-                img, _labels, _, img_id = self._dataset.pull_item(index)
-                h0, w0 = img.shape[:2]
-                scale = min(1.0 * input_h / h0, 1.0 * input_w / w0)
-                img = cv2.resize(
-                    img, (int(w0 * scale), int(h0 * scale)),
-                    interpolation=cv2.INTER_LINEAR,
-                )
-                (h, w, c) = img.shape[:3]
-                if i_mosaic == 0:
-                    mosaic_img = np.full(
-                        (input_h * 2, input_w * 2, c), 114, dtype=np.uint8
-                    )
-                (l_x1, l_y1, l_x2, l_y2), (s_x1, s_y1, s_x2, s_y2) = (
-                    get_mosaic_coordinate(
-                        i_mosaic, xc, yc, w, h, input_h, input_w
-                    )
-                )
-                mosaic_img[l_y1:l_y2, l_x1:l_x2] = img[s_y1:s_y2, s_x1:s_x2]
-                padw, padh = l_x1 - s_x1, l_y1 - s_y1
-
-                labels = _labels.copy()
-                if _labels.size > 0:
-                    labels[:, 0] = scale * _labels[:, 0] + padw
-                    labels[:, 1] = scale * _labels[:, 1] + padh
-                    labels[:, 2] = scale * _labels[:, 2] + padw
-                    labels[:, 3] = scale * _labels[:, 3] + padh
-                mosaic_labels.append(labels)
-
-            if len(mosaic_labels):
-                mosaic_labels = np.concatenate(mosaic_labels, 0)
-                np.clip(mosaic_labels[:, 0], 0, 2 * input_w,
-                        out=mosaic_labels[:, 0])
-                np.clip(mosaic_labels[:, 1], 0, 2 * input_h,
-                        out=mosaic_labels[:, 1])
-                np.clip(mosaic_labels[:, 2], 0, 2 * input_w,
-                        out=mosaic_labels[:, 2])
-                np.clip(mosaic_labels[:, 3], 0, 2 * input_h,
-                        out=mosaic_labels[:, 3])
-
-            mosaic_img, mosaic_labels = random_affine(
-                mosaic_img, mosaic_labels,
-                target_size=(input_w, input_h),
+            img, labels, img_id = self._compose_mosaic(idx, input_h, input_w)
+            img, labels = random_affine(
+                img, labels, target_size=(input_w, input_h),
                 degrees=self.degrees, translate=self.translate,
                 scales=self.scale, shear=self.shear, rng=rng,
             )
-
             if (
-                self.enable_mixup
-                and not len(mosaic_labels) == 0
+                self.enable_mixup and len(labels)
                 and rng.random() < self.mixup_prob
             ):
-                mosaic_img, mosaic_labels = self.mixup(
-                    mosaic_img, mosaic_labels, self.input_dim
-                )
-            mix_img, padded_labels = self.preproc(
-                mosaic_img, mosaic_labels, self.input_dim
-            )
-            img_info = (mix_img.shape[1], mix_img.shape[0])
-            return mix_img, padded_labels, img_info, img_id
+                img, labels = self.mixup(img, labels, self.input_dim)
+            img, padded = self.preproc(img, labels, self.input_dim)
+            return img, padded, (img.shape[1], img.shape[0]), img_id
 
         self._dataset._input_dim = self.input_dim
         img, label, img_info, img_id = self._dataset.pull_item(idx)
         img, label = self.preproc(img, label, self.input_dim)
         return img, label, img_info, img_id
-
-    def mixup(self, origin_img, origin_labels, input_dim):
-        """CopyPaste-style 0.5 blend (ref `mixup:162-234`)."""
-        rng = self.rng
-        jit_factor = rng.uniform(*self.mixup_scale)
-        flip = rng.uniform(0, 1) > 0.5
-        cp_labels = []
-        while len(cp_labels) == 0:
-            cp_index = int(rng.integers(0, len(self)))
-            cp_labels = self._dataset.load_anno(cp_index)
-        img, cp_labels, _, _ = self._dataset.pull_item(cp_index)
-
-        if len(img.shape) == 3:
-            cp_img = np.ones(
-                (input_dim[0], input_dim[1], 3), dtype=np.uint8
-            ) * 114
-        else:
-            cp_img = np.ones(input_dim, dtype=np.uint8) * 114
-
-        cp_scale_ratio = min(
-            input_dim[0] / img.shape[0], input_dim[1] / img.shape[1]
-        )
-        resized_img = cv2.resize(
-            img,
-            (int(img.shape[1] * cp_scale_ratio),
-             int(img.shape[0] * cp_scale_ratio)),
-            interpolation=cv2.INTER_LINEAR,
-        )
-        cp_img[
-            : int(img.shape[0] * cp_scale_ratio),
-            : int(img.shape[1] * cp_scale_ratio),
-        ] = resized_img
-
-        cp_img = cv2.resize(
-            cp_img,
-            (int(cp_img.shape[1] * jit_factor),
-             int(cp_img.shape[0] * jit_factor)),
-        )
-        cp_scale_ratio *= jit_factor
-        if flip:
-            cp_img = cp_img[:, ::-1, :]
-
-        origin_h, origin_w = cp_img.shape[:2]
-        target_h, target_w = origin_img.shape[:2]
-        padded_img = np.zeros(
-            (max(origin_h, target_h), max(origin_w, target_w), 3),
-            dtype=np.uint8,
-        )
-        padded_img[:origin_h, :origin_w] = cp_img
-
-        x_offset, y_offset = 0, 0
-        if padded_img.shape[0] > target_h:
-            y_offset = int(rng.integers(0, padded_img.shape[0] - target_h))
-        if padded_img.shape[1] > target_w:
-            x_offset = int(rng.integers(0, padded_img.shape[1] - target_w))
-        padded_cropped_img = padded_img[
-            y_offset: y_offset + target_h, x_offset: x_offset + target_w
-        ]
-
-        cp_bboxes_origin_np = adjust_box_anns(
-            cp_labels[:, :4].copy(), cp_scale_ratio, 0, 0,
-            origin_w, origin_h,
-        )
-        if flip:
-            cp_bboxes_origin_np[:, 0::2] = (
-                origin_w - cp_bboxes_origin_np[:, 0::2][:, ::-1]
-            )
-        cp_bboxes_transformed_np = cp_bboxes_origin_np.copy()
-        cp_bboxes_transformed_np[:, 0::2] = np.clip(
-            cp_bboxes_transformed_np[:, 0::2] - x_offset, 0, target_w
-        )
-        cp_bboxes_transformed_np[:, 1::2] = np.clip(
-            cp_bboxes_transformed_np[:, 1::2] - y_offset, 0, target_h
-        )
-
-        cls_labels = cp_labels[:, 4:5].copy()
-        labels = np.hstack((cp_bboxes_transformed_np, cls_labels))
-        origin_labels = np.vstack((origin_labels, labels))
-        origin_img = origin_img.astype(np.float32)
-        origin_img = 0.5 * origin_img + 0.5 * padded_cropped_img.astype(
-            np.float32
-        )
-        return origin_img.astype(np.uint8), origin_labels

@@ -32,49 +32,59 @@ from .coco_eval import COCOeval
 from .postprocess import Detections
 
 
-def per_class_AR_table(coco_eval, class_names=COCO_CLASSES,
-                       headers=["class", "AR"], colums=6):
-    """Markdown AR-per-class table (ref `per_class_AR_table:30-50`)."""
-    per_class_AR = {}
-    recalls = coco_eval.eval["recall"]
+def _folded_metric_table(values: dict, metric: str, pairs_per_row: int = 3):
+    """Render {class: value} as a markdown table folded into
+    ``pairs_per_row`` (class, value) column pairs.
+
+    Capability parity with the reference's per-class table helpers
+    (`/root/reference/yolox/evaluators/coco_evaluator.py:30-75`), rendered
+    with a row-major fold of the class list rather than column slicing.
+    """
+    names = list(values)
+    pairs_per_row = max(1, min(pairs_per_row, len(names)))
+    cells = []
+    for start in range(0, len(names), pairs_per_row):
+        chunk = names[start: start + pairs_per_row]
+        row = []
+        for name in chunk:
+            row += [name, values[name]]
+        row += [None] * (2 * (pairs_per_row - len(chunk)))
+        cells.append(row)
+    return tabulate(
+        cells, tablefmt="pipe", floatfmt=".3f", numalign="left",
+        headers=["class", metric] * pairs_per_row,
+    )
+
+
+def _masked_mean_pct(slab: np.ndarray) -> float:
+    """COCOeval convention: -1 marks absent entries; mean of the rest."""
+    present = slab[slab > -1]
+    return float(100 * present.mean()) if present.size else float("nan")
+
+
+def per_class_AR_table(coco_eval, class_names=COCO_CLASSES):
+    """Markdown AR-per-class table (recall @ area=all, maxDet=last)."""
+    recalls = coco_eval.eval["recall"]  # [T, K, A, M]
     assert len(class_names) == recalls.shape[1]
-    for idx, name in enumerate(class_names):
-        recall = recalls[:, idx, 0, -1]
-        recall = recall[recall > -1]
-        ar = np.mean(recall) if recall.size else float("nan")
-        per_class_AR[name] = float(ar * 100)
-    num_cols = min(colums, len(per_class_AR) * len(headers))
-    result_pair = [x for pair in per_class_AR.items() for x in pair]
-    row_pair = itertools.zip_longest(
-        *[result_pair[i::num_cols] for i in range(num_cols)]
-    )
-    table_headers = headers * (num_cols // len(headers))
-    return tabulate(
-        row_pair, tablefmt="pipe", floatfmt=".3f",
-        headers=table_headers, numalign="left",
+    return _folded_metric_table(
+        {
+            name: _masked_mean_pct(recalls[:, k, 0, -1])
+            for k, name in enumerate(class_names)
+        },
+        "AR",
     )
 
 
-def per_class_AP_table(coco_eval, class_names=COCO_CLASSES,
-                       headers=["class", "AP"], colums=6):
-    """Markdown AP-per-class table (ref `per_class_AP_table:53-75`)."""
-    per_class_AP = {}
-    precisions = coco_eval.eval["precision"]
+def per_class_AP_table(coco_eval, class_names=COCO_CLASSES):
+    """Markdown AP-per-class table (precision @ area=all, maxDet=last)."""
+    precisions = coco_eval.eval["precision"]  # [T, R, K, A, M]
     assert len(class_names) == precisions.shape[2]
-    for idx, name in enumerate(class_names):
-        precision = precisions[:, :, idx, 0, -1]
-        precision = precision[precision > -1]
-        ap = np.mean(precision) if precision.size else float("nan")
-        per_class_AP[name] = float(ap * 100)
-    num_cols = min(colums, len(per_class_AP) * len(headers))
-    result_pair = [x for pair in per_class_AP.items() for x in pair]
-    row_pair = itertools.zip_longest(
-        *[result_pair[i::num_cols] for i in range(num_cols)]
-    )
-    table_headers = headers * (num_cols // len(headers))
-    return tabulate(
-        row_pair, tablefmt="pipe", floatfmt=".3f",
-        headers=table_headers, numalign="left",
+    return _folded_metric_table(
+        {
+            name: _masked_mean_pct(precisions[:, :, k, 0, -1])
+            for k, name in enumerate(class_names)
+        },
+        "AP",
     )
 
 
@@ -108,12 +118,17 @@ class COCOEvaluator:
         Returns (ap50_95, ap50, summary_str) like the reference
         (`evaluate:115-197`).
 
+        ``infer_fn`` MUST be pure/idempotent: each distinct batch shape is
+        run once extra as a compile warm-up before its timed call (and the
+        first batch twice), so a stateful callable would double-consume
+        inputs and corrupt its results.
+
         ``decode_fn`` (forward + decode, no NMS) restores the reference's
         forward-vs-NMS timing split: NMS cannot be timed inside the fused
-        program, so it is estimated once per eval as the difference between
-        the full pipeline and the decode-only pipeline on the last batch
-        (the reference instead accumulates the two timers every batch,
-        `coco_evaluator.py:161-189`).
+        program, so it is *estimated* once per eval as the difference
+        between the full pipeline and the decode-only pipeline on the first
+        batch (the reference instead accumulates the two timers every
+        batch, `coco_evaluator.py:161-189`); the summary labels it so.
         """
         import jax
 
@@ -122,14 +137,17 @@ class COCOEvaluator:
         n_batches = 0
         est_imgs = None  # first (full-sized) batch; drop_last=False can
         # shrink only the LAST batch, which would force fresh compiles
+        warmed_shapes = set()
 
         for cur_iter, batch in enumerate(self.dataloader):
             imgs, _, info_imgs, ids = batch
             imgs_np = np.asarray(imgs, np.float32)
             if est_imgs is None:
                 est_imgs = imgs_np
-                # warm: keep the one-off XLA compile out of the timers
-                # (the reference accumulates steady-state timers only)
+            if imgs_np.shape not in warmed_shapes:
+                # keep the one-off XLA compile (first batch, and a
+                # differently-shaped final partial batch) out of the timers
+                warmed_shapes.add(imgs_np.shape)
                 jax.device_get(infer_fn(imgs_np))
             start = time.time()
             dets = infer_fn(imgs_np)
@@ -244,7 +262,7 @@ class COCOEvaluator:
         time_info = ", ".join(
             [
                 "Average forward time: {:.2f} ms".format(a_infer_time),
-                "Average NMS time: {:.2f} ms".format(a_nms_time),
+                "Average NMS time (estimated): {:.2f} ms".format(a_nms_time),
                 "Average inference time: {:.2f} ms".format(
                     a_infer_time + a_nms_time
                 ),

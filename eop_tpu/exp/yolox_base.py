@@ -19,67 +19,57 @@ from .base_exp import BaseExp
 
 
 class Exp(BaseExp):
+    # Hyperparameter defaults, grouped as in the reference's Exp
+    # (`yolox/exp/yolox_base.py:19-71`).  Values land as instance
+    # attributes so ``merge()`` / repr / subclass overrides see them.
+    _MODEL = dict(
+        num_classes=80, depth=1.00, width=1.00,
+        act="silu", backbone_type="darknet", depthwise=False,
+    )
+    _DATA = dict(
+        data_num_workers=4,
+        input_size=(640, 640),      # (height, width)
+        multiscale_range=5,         # ±range×32 px
+        random_size=None,           # Optional[Tuple[int, int]]
+        data_dir=None,
+        train_ann="instances_train2017.json",
+        val_ann="instances_val2017.json",
+        test_ann="instances_test2017.json",
+    )
+    _TRANSFORM = dict(
+        mosaic_prob=1.0, mixup_prob=1.0, hsv_prob=1.0, flip_prob=0.5,
+        degrees=10.0, translate=0.1, shear=2.0,
+        mosaic_scale=(0.1, 2), mixup_scale=(0.5, 1.5), enable_mixup=True,
+    )
+    _TRAIN = dict(
+        warmup_epochs=5, max_epoch=300,
+        warmup_lr=0, basic_lr_per_img=0.01 / 64.0,
+        scheduler="yoloxwarmcos", no_aug_epochs=15, min_lr_ratio=0.05,
+        ema=True, ema_decay=0.9998,
+        weight_decay=5e-4, momentum=0.9,
+        print_interval=10, eval_interval=10,
+    )
+    _TEST = dict(test_size=(640, 640), test_conf=0.01, nmsthre=0.65)
+    _TPU = dict(
+        # compute dtype for the conv trunk ("bfloat16" for TPU speed)
+        compute_dtype="float32",
+        # gradient checkpointing of the conv trunk (memory for ~15% time)
+        remat=False,
+        # NMS fixpoint mode for eval/infer handles: "exact" iterates the
+        # suppression recurrence to stationarity (greedy-exact for any
+        # chain depth); "budget" keeps the fixed scaled budget (static
+        # schedule — what the latency-critical serving fn always uses)
+        nms_mode="exact",
+    )
+
     def __init__(self):
         super().__init__()
+        for group in (self._MODEL, self._DATA, self._TRANSFORM,
+                      self._TRAIN, self._TEST, self._TPU):
+            self.__dict__.update(group)
+        from .build import config_name
 
-        # ---------------- model config ---------------- #
-        self.num_classes = 80
-        self.depth = 1.00
-        self.width = 1.00
-        self.act = "silu"
-        self.backbone_type = "darknet"
-        self.depthwise = False
-
-        # ---------------- dataloader config ---------------- #
-        self.data_num_workers = 4
-        self.input_size = (640, 640)  # (height, width)
-        self.multiscale_range = 5      # ±range×32 px
-        self.random_size: Optional[Tuple[int, int]] = None
-        self.data_dir = None
-        self.train_ann = "instances_train2017.json"
-        self.val_ann = "instances_val2017.json"
-        self.test_ann = "instances_test2017.json"
-
-        # --------------- transform config ----------------- #
-        self.mosaic_prob = 1.0
-        self.mixup_prob = 1.0
-        self.hsv_prob = 1.0
-        self.flip_prob = 0.5
-        self.degrees = 10.0
-        self.translate = 0.1
-        self.mosaic_scale = (0.1, 2)
-        self.mixup_scale = (0.5, 1.5)
-        self.shear = 2.0
-        self.enable_mixup = True
-
-        # --------------  training config --------------------- #
-        self.warmup_epochs = 5
-        self.max_epoch = 300
-        self.warmup_lr = 0
-        self.basic_lr_per_img = 0.01 / 64.0
-        self.scheduler = "yoloxwarmcos"
-        self.no_aug_epochs = 15
-        self.min_lr_ratio = 0.05
-        self.ema = True
-        self.ema_decay = 0.9998
-
-        self.weight_decay = 5e-4
-        self.momentum = 0.9
-        self.print_interval = 10
-        self.eval_interval = 10
-        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(
-            "."
-        )[0]
-
-        # -----------------  testing config ------------------ #
-        self.test_size = (640, 640)
-        self.test_conf = 0.01
-        self.nmsthre = 0.65
-
-        # compute dtype for the conv trunk ("bfloat16" for TPU speed)
-        self.compute_dtype = "float32"
-        # gradient checkpointing of the conv trunk (memory for ~15% time)
-        self.remat = False
+        self.exp_name = config_name(__file__)
 
     # ------------------------------------------------------------------
 
@@ -107,30 +97,44 @@ class Exp(BaseExp):
     def get_data_loader(self, batch_size, is_distributed, no_aug=False,
                         cache_img=False, rank=0, world_size=1, seed=None):
         """Mosaic train loader (ref `get_data_loader:92-164`)."""
-        from ..data.augment import TrainTransform
         from ..data.coco_dataset import COCODataset
-        from ..data.dataloading import DataLoader, worker_init_reset_seed
-        from ..data.mosaic import MosaicDetection
-        from ..data.samplers import InfiniteSampler, YoloBatchSampler
 
         dataset = COCODataset(
             data_dir=self.data_dir,
             json_file=self.train_ann,
             img_size=self.input_size,
-            preproc=TrainTransform(
-                max_labels=50, flip_prob=self.flip_prob,
-                hsv_prob=self.hsv_prob,
-            ),
+            preproc=self.build_train_transform(max_labels=50),
             cache=cache_img,
         )
+        return self.wrap_train_dataset(
+            dataset, batch_size, is_distributed=is_distributed,
+            no_aug=no_aug, rank=rank, world_size=world_size, seed=seed,
+        )
+
+    def build_train_transform(self, max_labels: int):
+        from ..data.augment import TrainTransform
+
+        return TrainTransform(
+            max_labels=max_labels, flip_prob=self.flip_prob,
+            hsv_prob=self.hsv_prob,
+        )
+
+    def wrap_train_dataset(self, dataset, batch_size, is_distributed=False,
+                           no_aug=False, rank=0, world_size=1, seed=None):
+        """Shared tail of every train-loader factory: Mosaic/MixUp wrap +
+        infinite rank-strided sampling + worker pool.  Dataset-specific
+        exps (e.g. the VOC config) build their dataset and delegate here
+        instead of duplicating this wiring like the reference's VOC exp
+        does (`exps/example/yolox_voc/yolox_voc_s.py:24-86`)."""
+        from ..data.dataloading import DataLoader, worker_init_reset_seed
+        from ..data.mosaic import MosaicDetection
+        from ..data.samplers import InfiniteSampler, YoloBatchSampler
+
         dataset = MosaicDetection(
             dataset,
             mosaic=not no_aug,
             img_size=self.input_size,
-            preproc=TrainTransform(
-                max_labels=120, flip_prob=self.flip_prob,
-                hsv_prob=self.hsv_prob,
-            ),
+            preproc=self.build_train_transform(max_labels=120),
             degrees=self.degrees,
             translate=self.translate,
             mosaic_scale=self.mosaic_scale,
@@ -312,6 +316,10 @@ class Exp(BaseExp):
                 num_classes=self.num_classes,
                 conf_thre=self.test_conf,
                 nms_thre=self.nmsthre,
+                nms_fixpoint_iters=(
+                    "exact" if getattr(self, "nms_mode", "exact") == "exact"
+                    else None
+                ),
             )
 
         return infer

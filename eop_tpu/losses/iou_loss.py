@@ -22,38 +22,39 @@ def bce_with_logits(logits, targets):
     )
 
 
+def _corners(boxes):
+    """cxcywh [..., 4] -> (lo [..., 2], hi [..., 2])."""
+    half = boxes[..., 2:4] * 0.5
+    return boxes[..., :2] - half, boxes[..., :2] + half
+
+
+def _box_area(corner_pair):
+    lo, hi = corner_pair
+    return jnp.prod(hi - lo, axis=-1)
+
+
 def iou_loss(pred, target, loss_type: str = "iou"):
     """Matched-pair IoU loss on cxcywh boxes; pred/target [..., 4].
 
-    Returns elementwise loss [...] (ref `IOUloss.forward:15-53`).
+    Returns elementwise loss [...]: ``1 - iou²`` or ``1 - giou``
+    (capability of ref `IOUloss.forward:15-53`).
     """
-    tl = jnp.maximum(
-        pred[..., :2] - pred[..., 2:4] * 0.5,
-        target[..., :2] - target[..., 2:4] * 0.5,
+    (p_lo, p_hi), (g_lo, g_hi) = _corners(pred), _corners(target)
+    overlap = (jnp.maximum(p_lo, g_lo), jnp.minimum(p_hi, g_hi))
+    nonempty = jnp.all(overlap[0] < overlap[1], axis=-1).astype(pred.dtype)
+    area_i = _box_area(overlap) * nonempty
+    area_u = (
+        jnp.prod(pred[..., 2:4], axis=-1)
+        + jnp.prod(target[..., 2:4], axis=-1)
+        - area_i
     )
-    br = jnp.minimum(
-        pred[..., :2] + pred[..., 2:4] * 0.5,
-        target[..., :2] + target[..., 2:4] * 0.5,
-    )
-    area_p = jnp.prod(pred[..., 2:4], axis=-1)
-    area_g = jnp.prod(target[..., 2:4], axis=-1)
-    en = jnp.all(tl < br, axis=-1).astype(pred.dtype)
-    area_i = jnp.prod(br - tl, axis=-1) * en
-    area_u = area_p + area_g - area_i
     iou = area_i / (area_u + 1e-16)
 
     if loss_type == "iou":
         return 1.0 - iou**2
     if loss_type == "giou":
-        c_tl = jnp.minimum(
-            pred[..., :2] - pred[..., 2:4] * 0.5,
-            target[..., :2] - target[..., 2:4] * 0.5,
-        )
-        c_br = jnp.maximum(
-            pred[..., :2] + pred[..., 2:4] * 0.5,
-            target[..., :2] + target[..., 2:4] * 0.5,
-        )
-        area_c = jnp.prod(c_br - c_tl, axis=-1)
+        hull = (jnp.minimum(p_lo, g_lo), jnp.maximum(p_hi, g_hi))
+        area_c = _box_area(hull)
         giou = iou - (area_c - area_u) / jnp.clip(area_c, 1e-16)
         return 1.0 - jnp.clip(giou, -1.0, 1.0)
     raise ValueError(f"unknown loss_type {loss_type!r}")

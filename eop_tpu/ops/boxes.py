@@ -41,50 +41,57 @@ def bboxes_iou(bboxes_a, bboxes_b, xyxy: bool = True):
     ``xyxy=False`` treats inputs as [cx, cy, w, h].
     """
     if xyxy:
-        tl = jnp.maximum(bboxes_a[:, None, :2], bboxes_b[None, :, :2])
-        br = jnp.minimum(bboxes_a[:, None, 2:4], bboxes_b[None, :, 2:4])
+        corners_a, corners_b = bboxes_a[:, :4], bboxes_b[:, :4]
         area_a = jnp.prod(bboxes_a[:, 2:4] - bboxes_a[:, :2], axis=1)
         area_b = jnp.prod(bboxes_b[:, 2:4] - bboxes_b[:, :2], axis=1)
     else:
-        tl = jnp.maximum(
-            bboxes_a[:, None, :2] - bboxes_a[:, None, 2:4] * 0.5,
-            bboxes_b[None, :, :2] - bboxes_b[None, :, 2:4] * 0.5,
+        half_a, half_b = bboxes_a[:, 2:4] * 0.5, bboxes_b[:, 2:4] * 0.5
+        corners_a = jnp.concatenate(
+            [bboxes_a[:, :2] - half_a, bboxes_a[:, :2] + half_a], axis=1
         )
-        br = jnp.minimum(
-            bboxes_a[:, None, :2] + bboxes_a[:, None, 2:4] * 0.5,
-            bboxes_b[None, :, :2] + bboxes_b[None, :, 2:4] * 0.5,
+        corners_b = jnp.concatenate(
+            [bboxes_b[:, :2] - half_b, bboxes_b[:, :2] + half_b], axis=1
         )
         area_a = jnp.prod(bboxes_a[:, 2:4], axis=1)
         area_b = jnp.prod(bboxes_b[:, 2:4], axis=1)
+    tl = jnp.maximum(corners_a[:, None, :2], corners_b[None, :, :2])
+    br = jnp.minimum(corners_a[:, None, 2:], corners_b[None, :, 2:])
     en = jnp.all(tl < br, axis=2).astype(bboxes_a.dtype)
     area_i = jnp.prod(br - tl, axis=2) * en
     return area_i / (area_a[:, None] + area_b[None, :] - area_i)
 
 
 def matrix_iou(a, b):
-    """numpy pairwise IoU for host-side augmentation (ref `matrix_iou:102`)."""
-    lt = np.maximum(a[:, np.newaxis, :2], b[:, :2])
-    rb = np.minimum(a[:, np.newaxis, 2:], b[:, 2:])
-    area_i = np.prod(rb - lt, axis=2) * (lt < rb).all(axis=2)
-    area_a = np.prod(a[:, 2:] - a[:, :2], axis=1)
-    area_b = np.prod(b[:, 2:] - b[:, :2], axis=1)
-    return area_i / (area_a[:, np.newaxis] + area_b - area_i + 1e-12)
+    """numpy pairwise IoU for host-side augmentation (capability of ref
+    `matrix_iou:102`): [Na, 4] x [Nb, 4] xyxy -> [Na, Nb]."""
+    overlap_lo = np.maximum(a[:, None, :2], b[None, :, :2])
+    overlap_hi = np.minimum(a[:, None, 2:4], b[None, :, 2:4])
+    side = np.clip(overlap_hi - overlap_lo, 0.0, None)
+    inter = side[..., 0] * side[..., 1]
+
+    def span(boxes):
+        wh = boxes[:, 2:4] - boxes[:, :2]
+        return wh[:, 0] * wh[:, 1]
+
+    return inter / (span(a)[:, None] + span(b)[None, :] - inter + 1e-12)
 
 
 def adjust_box_anns(bbox, scale_ratio, padw, padh, w_max, h_max):
-    """Scale + shift + clip annotations, numpy, host-side mosaic helper
-    (ref `adjust_box_anns:112`). Mutates like the reference (numpy arrays
-    owned by the data pipeline)."""
-    bbox[:, 0::2] = np.clip(bbox[:, 0::2] * scale_ratio + padw, 0, w_max)
-    bbox[:, 1::2] = np.clip(bbox[:, 1::2] * scale_ratio + padh, 0, h_max)
+    """Scale + shift + clip xyxy annotations in place — host-side mosaic
+    helper (capability of ref `adjust_box_anns:112`)."""
+    shift = np.asarray([padw, padh], dtype=np.float64)
+    limit = np.asarray([w_max, h_max], dtype=np.float64)
+    quad = bbox[:, :4].reshape(-1, 2, 2)
+    bbox[:, :4] = np.clip(
+        quad * scale_ratio + shift, 0.0, limit
+    ).reshape(-1, 4)
     return bbox
 
 
 def filter_box(output, scale_range):
-    """Keep detections whose sqrt-area lies in ``scale_range``
-    (ref `filter_box:22-30`). Host-side numpy."""
-    min_scale, max_scale = scale_range
-    w = output[:, 2] - output[:, 0]
-    h = output[:, 3] - output[:, 1]
-    keep = (w * h > min_scale * min_scale) & (w * h < max_scale * max_scale)
-    return output[keep]
+    """Keep detections whose area lies inside ``scale_range``², host-side
+    numpy (capability of ref `filter_box:22-30`)."""
+    lo, hi = scale_range
+    wh = output[:, 2:4] - output[:, 0:2]
+    area = wh[:, 0] * wh[:, 1]
+    return output[(area > lo * lo) & (area < hi * hi)]

@@ -1,112 +1,117 @@
-"""Pure-numpy deploy helpers.
+"""Pure-numpy deploy helpers: dependency-free greedy NMS and the flat-grid
+decoder for exported raw model outputs.
 
-Parity target: `/root/reference/yolox/utils/demo_utils.py:17-124` —
-dependency-free NMS (`nms`, `multiclass_nms` class-aware/agnostic) and the
-grid decoder `demo_postprocess` for exported models.
+Capability parity with `/root/reference/yolox/utils/demo_utils.py:17-124`,
+implemented differently: NMS materialises the full pairwise-overlap matrix
+once and walks a live-candidate mask (the reference re-intersects the
+shrinking candidate list each round), and the decode grid is derived by
+``divmod`` over flat anchor indices rather than ``meshgrid`` stacking.
+Greedy keep-lists are identical for distinct scores; score ties may order
+differently (the reference breaks ties toward the later index).
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+__all__ = ["mkdir", "nms", "multiclass_nms", "demo_postprocess"]
 
 
 def mkdir(path):
-    import os
-
     os.makedirs(path, exist_ok=True)
 
 
+def _overlap_matrix(boxes):
+    """[N, N] pairwise IoU under the legacy +1 (inclusive-pixel) area
+    convention the deploy path has always used."""
+    lo = np.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    hi = np.minimum(boxes[:, None, 2:4], boxes[None, :, 2:4])
+    side = np.clip(hi - lo + 1.0, 0.0, None)
+    inter = side[..., 0] * side[..., 1]
+    ext = boxes[:, 2:4] - boxes[:, :2] + 1.0
+    area = ext[:, 0] * ext[:, 1]
+    return inter / (area[:, None] + area[None, :] - inter)
+
+
 def nms(boxes, scores, nms_thr):
-    """Single-class numpy NMS (ref `nms:17-41`)."""
-    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
-    order = scores.argsort()[::-1]
+    """Greedy single-class NMS; returns kept indices in score order."""
+    iou = _overlap_matrix(np.asarray(boxes, dtype=np.float64))
+    rank = np.argsort(np.asarray(scores))[::-1]
+    live = np.ones(len(rank), dtype=bool)
     keep = []
-    while order.size > 0:
-        i = order[0]
-        keep.append(i)
-        xx1 = np.maximum(x1[i], x1[order[1:]])
-        yy1 = np.maximum(y1[i], y1[order[1:]])
-        xx2 = np.minimum(x2[i], x2[order[1:]])
-        yy2 = np.minimum(y2[i], y2[order[1:]])
-        w = np.maximum(0.0, xx2 - xx1 + 1)
-        h = np.maximum(0.0, yy2 - yy1 + 1)
-        inter = w * h
-        ovr = inter / (areas[i] + areas[order[1:]] - inter)
-        inds = np.where(ovr <= nms_thr)[0]
-        order = order[inds + 1]
+    for i in rank:
+        if not live[i]:
+            continue
+        keep.append(int(i))
+        live &= iou[i] <= nms_thr
+        live[i] = False
     return keep
 
 
-def multiclass_nms(boxes, scores, nms_thr, score_thr, class_agnostic=True):
-    """Multiclass NMS (ref `multiclass_nms:44-49`)."""
-    fn = (
-        multiclass_nms_class_agnostic
-        if class_agnostic
-        else multiclass_nms_class_aware
+def _det_rows(boxes, scores, classes):
+    """Stack kept detections as [x1, y1, x2, y2, score, cls] rows."""
+    return np.concatenate(
+        [boxes, scores[:, None], np.asarray(classes, np.float64)[:, None]],
+        axis=1,
     )
-    return fn(boxes, scores, nms_thr, score_thr)
+
+
+def multiclass_nms(boxes, scores, nms_thr, score_thr, class_agnostic=True):
+    """Multiclass NMS over ``scores[N, C]``; ``None`` when nothing passes."""
+    if class_agnostic:
+        return multiclass_nms_class_agnostic(boxes, scores, nms_thr, score_thr)
+    return multiclass_nms_class_aware(boxes, scores, nms_thr, score_thr)
 
 
 def multiclass_nms_class_aware(boxes, scores, nms_thr, score_thr):
-    """Per-class NMS (ref `:52-77`)."""
-    final_dets = []
-    num_classes = scores.shape[1]
-    for cls_ind in range(num_classes):
-        cls_scores = scores[:, cls_ind]
-        valid_mask = cls_scores > score_thr
-        if valid_mask.sum() == 0:
+    """Suppression runs independently per class column."""
+    per_class = []
+    for c in range(scores.shape[1]):
+        col = scores[:, c]
+        picked = np.flatnonzero(col > score_thr)
+        if picked.size == 0:
             continue
-        valid_scores = cls_scores[valid_mask]
-        valid_boxes = boxes[valid_mask]
-        keep = nms(valid_boxes, valid_scores, nms_thr)
-        if len(keep) > 0:
-            cls_inds = np.ones((len(keep), 1)) * cls_ind
-            dets = np.concatenate(
-                [valid_boxes[keep], valid_scores[keep, None], cls_inds], 1
+        keep = picked[nms(boxes[picked], col[picked], nms_thr)]
+        if keep.size:
+            per_class.append(
+                _det_rows(boxes[keep], col[keep], np.full(keep.size, c))
             )
-            final_dets.append(dets)
-    if len(final_dets) == 0:
-        return None
-    return np.concatenate(final_dets, 0)
+    return np.concatenate(per_class, axis=0) if per_class else None
 
 
 def multiclass_nms_class_agnostic(boxes, scores, nms_thr, score_thr):
-    """Class-agnostic NMS (ref `:80-101`)."""
-    cls_inds = scores.argmax(1)
-    cls_scores = scores[np.arange(len(cls_inds)), cls_inds]
-    valid_mask = cls_scores > score_thr
-    if valid_mask.sum() == 0:
+    """One suppression pass on each box's best class."""
+    best_cls = scores.argmax(axis=1)
+    best_score = np.take_along_axis(
+        scores, best_cls[:, None], axis=1
+    ).ravel()
+    picked = np.flatnonzero(best_score > score_thr)
+    if picked.size == 0:
         return None
-    valid_scores = cls_scores[valid_mask]
-    valid_boxes = boxes[valid_mask]
-    valid_cls_inds = cls_inds[valid_mask]
-    keep = nms(valid_boxes, valid_scores, nms_thr)
-    if not keep:
+    keep = picked[nms(boxes[picked], best_score[picked], nms_thr)]
+    if keep.size == 0:
         return None
-    return np.concatenate(
-        [valid_boxes[keep], valid_scores[keep, None],
-         valid_cls_inds[keep, None]],
-        1,
-    )
+    return _det_rows(boxes[keep], best_score[keep], best_cls[keep])
+
+
+def _anchor_lattice(img_size, strides):
+    """Flat (cx_index, cy_index, stride) columns for every anchor across the
+    FPN levels, in level-major row-major order."""
+    cols = []
+    for s in strides:
+        h, w = img_size[0] // s, img_size[1] // s
+        ys, xs = np.divmod(np.arange(h * w), w)
+        cols.append(np.stack([xs, ys, np.full(h * w, s)], axis=1))
+    return np.concatenate(cols, axis=0)
 
 
 def demo_postprocess(outputs, img_size, p6=False):
-    """Grid decode for exported raw outputs (ref `:104-124`)."""
-    grids = []
-    expanded_strides = []
-    strides = [8, 16, 32] if not p6 else [8, 16, 32, 64]
-    hsizes = [img_size[0] // s for s in strides]
-    wsizes = [img_size[1] // s for s in strides]
-    for hsize, wsize, stride in zip(hsizes, wsizes, strides):
-        xv, yv = np.meshgrid(np.arange(wsize), np.arange(hsize))
-        grid = np.stack((xv, yv), 2).reshape(1, -1, 2)
-        grids.append(grid)
-        shape = grid.shape[:2]
-        expanded_strides.append(np.full((*shape, 1), stride))
-    grids = np.concatenate(grids, 1)
-    expanded_strides = np.concatenate(expanded_strides, 1)
-    outputs = outputs.copy()
-    outputs[..., :2] = (outputs[..., :2] + grids) * expanded_strides
-    outputs[..., 2:4] = np.exp(outputs[..., 2:4]) * expanded_strides
+    """Decode raw exported outputs in place: xy = (pred + grid) * stride,
+    wh = exp(pred) * stride; trailing channels pass through untouched."""
+    lattice = _anchor_lattice(img_size, (8, 16, 32, 64) if p6 else (8, 16, 32))
+    stride = lattice[None, :, 2:3]
+    outputs[..., :2] = (outputs[..., :2] + lattice[None, :, :2]) * stride
+    outputs[..., 2:4] = np.exp(outputs[..., 2:4]) * stride
     return outputs

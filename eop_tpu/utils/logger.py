@@ -8,24 +8,13 @@ third-party ``print`` output into the log stream).
 
 from __future__ import annotations
 
-import inspect
 import logging
-import os
 import sys
+from pathlib import Path
 
 _FORMAT = "%(asctime)s | %(levelname)s | %(name)s:%(lineno)d - %(message)s"
 
 logger = logging.getLogger("eop_tpu")
-
-
-def get_caller_name(depth: int = 0):
-    """Module name of the caller ``depth`` frames up (ref `:14-24`)."""
-    frame = inspect.currentframe().f_back
-    for _ in range(depth):
-        if frame.f_back is None:
-            break
-        frame = frame.f_back
-    return frame.f_globals.get("__name__", "?")
 
 
 class StreamToLogger:
@@ -37,8 +26,8 @@ class StreamToLogger:
         self.linebuf = ""
 
     def write(self, buf):
-        for line in buf.rstrip().splitlines():
-            self.logger.log(self.level, line.rstrip())
+        for line in filter(None, map(str.rstrip, buf.splitlines())):
+            self.logger.log(self.level, line)
 
     def flush(self):
         pass
@@ -78,11 +67,11 @@ def setup_logger(save_dir=None, distributed_rank: int = 0,
         sh.setFormatter(logging.Formatter(_FORMAT))
         logger.addHandler(sh)
         if save_dir:
-            os.makedirs(save_dir, exist_ok=True)
-            save_file = os.path.join(save_dir, filename)
-            if mode == "o" and os.path.exists(save_file):
-                os.remove(save_file)
-            fh = logging.FileHandler(save_file)
+            log_path = Path(save_dir) / filename
+            log_path.parent.mkdir(parents=True, exist_ok=True)
+            if mode == "o":
+                log_path.unlink(missing_ok=True)
+            fh = logging.FileHandler(log_path)
             fh.setFormatter(logging.Formatter(_FORMAT))
             logger.addHandler(fh)
     if redirect and distributed_rank == 0:

@@ -20,25 +20,33 @@ def configure_omp(num_threads: int = 1):
         os.environ["OMP_NUM_THREADS"] = str(num_threads)
 
 
+def _raise_open_file_limit(soft_target: int):
+    """Loader worker pools hold many fds; lift the soft NOFILE limit."""
+    import resource
+
+    _, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    resource.setrlimit(resource.RLIMIT_NOFILE, (soft_target, hard))
+
+
+def _clamp_cv2_parallelism():
+    """cv2 in loader workers must not spawn its own thread pools."""
+    import cv2
+
+    cv2.setNumThreads(0)
+    cv2.ocl.setUseOpenCL(False)
+
+
 def configure_module(ulimit_value: int = 8192):
     """Raise the open-file limit and clamp cv2 threading
-    (ref `configure_module:51-77`)."""
-    try:
-        import resource
-
-        rlimit = resource.getrlimit(resource.RLIMIT_NOFILE)
-        resource.setrlimit(
-            resource.RLIMIT_NOFILE, (ulimit_value, rlimit[1])
-        )
-    except Exception:
-        pass
-    try:
-        import cv2
-
-        cv2.setNumThreads(0)
-        cv2.ocl.setUseOpenCL(False)
-    except Exception:
-        pass
+    (ref `configure_module:51-77`).  Both are best-effort."""
+    for step in (
+        lambda: _raise_open_file_limit(ulimit_value),
+        _clamp_cv2_parallelism,
+    ):
+        try:
+            step()
+        except Exception:
+            pass
 
 
 def configure_tpu():

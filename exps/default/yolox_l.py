@@ -1,13 +1,10 @@
-"""yolox_l scale config (ref exps/default/yolox_l.py)."""
+"""yolox-l: depth 1.0 / width 1.0 (ref exps/default/yolox_l.py)."""
 
-import os
-
-from eop_tpu.exp import Exp as MyExp
+from eop_tpu.exp import Exp as _Scale, config_name
 
 
-class Exp(MyExp):
+class Exp(_Scale):
     def __init__(self):
         super().__init__()
-        self.depth = 1.0
-        self.width = 1.0
-        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]
+        self.depth, self.width = 1.0, 1.0
+        self.exp_name = config_name(__file__)

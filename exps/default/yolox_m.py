@@ -1,13 +1,10 @@
-"""yolox_m scale config (ref exps/default/yolox_m.py)."""
+"""yolox-m: depth 0.67 / width 0.75 (ref exps/default/yolox_m.py)."""
 
-import os
-
-from eop_tpu.exp import Exp as MyExp
+from eop_tpu.exp import Exp as _Scale, config_name
 
 
-class Exp(MyExp):
+class Exp(_Scale):
     def __init__(self):
         super().__init__()
-        self.depth = 0.67
-        self.width = 0.75
-        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]
+        self.depth, self.width = 0.67, 0.75
+        self.exp_name = config_name(__file__)

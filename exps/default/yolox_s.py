@@ -1,13 +1,10 @@
-"""yolox_s scale config (ref exps/default/yolox_s.py)."""
+"""yolox-s: depth 0.33 / width 0.50 (ref exps/default/yolox_s.py)."""
 
-import os
-
-from eop_tpu.exp import Exp as MyExp
+from eop_tpu.exp import Exp as _Scale, config_name
 
 
-class Exp(MyExp):
+class Exp(_Scale):
     def __init__(self):
         super().__init__()
-        self.depth = 0.33
-        self.width = 0.50
-        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]
+        self.depth, self.width = 0.33, 0.50
+        self.exp_name = config_name(__file__)

@@ -1,16 +1,13 @@
 """Custom-dataset yolox-s template (ref exps/example/custom/yolox_s.py)."""
 
-import os
-
-from eop_tpu.exp import Exp as MyExp
+from eop_tpu.exp import Exp as _Scale, config_name
 
 
-class Exp(MyExp):
+class Exp(_Scale):
     def __init__(self):
         super().__init__()
-        self.depth = 0.33
-        self.width = 0.50
-        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]
+        self.depth, self.width = 0.33, 0.50
+        self.exp_name = config_name(__file__)
 
         # Point these at your own COCO-format dataset.
         self.data_dir = "datasets/coco128"

@@ -2,68 +2,36 @@
 
 import os
 
-from eop_tpu.exp import Exp as MyExp
+from eop_tpu.exp import Exp as _Scale, config_name
 
 
-class Exp(MyExp):
+class Exp(_Scale):
     def __init__(self):
         super().__init__()
+        self.depth, self.width = 0.33, 0.50
         self.num_classes = 20
-        self.depth = 0.33
-        self.width = 0.50
         self.warmup_epochs = 1
-        self.exp_name = os.path.split(os.path.realpath(__file__))[1].split(".")[0]
+        self.exp_name = config_name(__file__)
+
+    def _devkit_dir(self):
+        return os.path.join(self.data_dir or "datasets", "VOCdevkit")
 
     def get_data_loader(self, batch_size, is_distributed, no_aug=False,
                         cache_img=False, rank=0, world_size=1, seed=None):
-        from eop_tpu.data.augment import TrainTransform
-        from eop_tpu.data.dataloading import (
-            DataLoader,
-            worker_init_reset_seed,
-        )
-        from eop_tpu.data.mosaic import MosaicDetection
-        from eop_tpu.data.samplers import InfiniteSampler, YoloBatchSampler
         from eop_tpu.data.voc import VOCDetection
 
         dataset = VOCDetection(
-            data_dir=os.path.join(self.data_dir or "datasets", "VOCdevkit"),
+            data_dir=self._devkit_dir(),
             image_sets=[("2007", "trainval"), ("2012", "trainval")],
             img_size=self.input_size,
-            preproc=TrainTransform(
-                max_labels=50, flip_prob=self.flip_prob,
-                hsv_prob=self.hsv_prob,
-            ),
+            preproc=self.build_train_transform(max_labels=50),
             cache=cache_img,
         )
-        dataset = MosaicDetection(
-            dataset,
-            mosaic=not no_aug,
-            img_size=self.input_size,
-            preproc=TrainTransform(
-                max_labels=120, flip_prob=self.flip_prob,
-                hsv_prob=self.hsv_prob,
-            ),
-            degrees=self.degrees,
-            translate=self.translate,
-            mosaic_scale=self.mosaic_scale,
-            mixup_scale=self.mixup_scale,
-            shear=self.shear,
-            enable_mixup=self.enable_mixup,
-            mosaic_prob=self.mosaic_prob,
-            mixup_prob=self.mixup_prob,
-            seed=seed,
+        # Mosaic wrap + sampling + workers are shared with the base exp
+        return self.wrap_train_dataset(
+            dataset, batch_size, is_distributed=is_distributed,
+            no_aug=no_aug, rank=rank, world_size=world_size, seed=seed,
         )
-        self.dataset = dataset
-        if is_distributed:
-            batch_size = batch_size // world_size
-        sampler = InfiniteSampler(len(dataset), seed=self.seed or 0,
-                                  rank=rank, world_size=world_size)
-        batch_sampler = YoloBatchSampler(
-            sampler, batch_size, drop_last=False, mosaic=not no_aug,
-        )
-        return DataLoader(dataset, batch_sampler=batch_sampler,
-                          num_workers=self.data_num_workers,
-                          worker_init_fn=worker_init_reset_seed)
 
     def get_eval_loader(self, batch_size, is_distributed=False,
                         testdev=False, legacy=False):
@@ -72,7 +40,7 @@ class Exp(MyExp):
         from eop_tpu.data.voc import VOCDetection
 
         valdataset = VOCDetection(
-            data_dir=os.path.join(self.data_dir or "datasets", "VOCdevkit"),
+            data_dir=self._devkit_dir(),
             image_sets=[("2007", "test")],
             img_size=self.test_size,
             preproc=ValTransform(legacy=legacy),
