@@ -202,7 +202,11 @@ class DataLoader:
                 # poll with a timeout so a worker dying mid-batch (OOM
                 # kill, cv2 segfault) raises instead of blocking forever
                 # on a result that will never come (torch's DataLoader
-                # does the same liveness check)
+                # does the same liveness check).  A dead worker alone is
+                # not proof the pending batch is lost — another live
+                # worker may own it — so only raise once results also
+                # stop flowing (grace window), or when no worker is left.
+                empty_polls = 0
                 while True:
                     try:
                         batch_id, batch, err = self._result_q.get(
@@ -210,15 +214,20 @@ class DataLoader:
                         )
                         break
                     except queue.Empty:
+                        empty_polls += 1
                         dead = [
                             p.pid for p in self._workers
                             if not p.is_alive()
                         ]
-                        if dead:
+                        if dead and (
+                            len(dead) == len(self._workers)
+                            or empty_polls >= 3
+                        ):
                             raise RuntimeError(
                                 f"DataLoader worker(s) {dead} died "
                                 "unexpectedly (killed / crashed) with "
-                                f"{len(in_flight)} batch(es) in flight"
+                                f"{len(in_flight)} batch(es) in flight "
+                                "and no results arriving"
                             ) from None
                 if err is not None:
                     raise RuntimeError(f"DataLoader worker failed:\n{err}")

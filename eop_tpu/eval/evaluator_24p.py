@@ -19,6 +19,24 @@ import os
 
 import numpy as np
 
+try:  # optional: header-only image-size reads (falls back to cv2 decode)
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover
+    _PILImage = None
+
+
+def _image_size(path: str) -> "tuple[int, int]":
+    """(width, height) of an image file, without a full decode when PIL
+    is available."""
+    if _PILImage is not None:
+        with _PILImage.open(path) as im:
+            return im.size
+    import cv2
+
+    img = cv2.imread(path)
+    assert img is not None, f"image {path} not found"
+    return img.shape[1], img.shape[0]
+
 from ..data.coco_api import COCO
 from ..ops.polygon import COS_ANGLES, SIN_ANGLES
 from .coco_eval import COCOeval
@@ -59,12 +77,7 @@ class Evaluator24P:
             img_id = int(key)
             # size from the image header only — pull_item would decode +
             # resize every image once just for this metadata
-            from PIL import Image
-
-            with Image.open(
-                os.path.join(ds.data_dir, img_name)
-            ) as im:
-                ori_w, ori_h = im.size
+            ori_w, ori_h = _image_size(os.path.join(ds.data_dir, img_name))
             images.append(
                 {"id": img_id, "width": int(ori_w), "height": int(ori_h),
                  "file_name": img_name}
@@ -103,7 +116,10 @@ class Evaluator24P:
         return gt
 
     def evaluate(self, infer_fn: Callable, distributed: bool = False):
-        """Returns (ap50_95, ap50, summary)."""
+        """Returns (ap50_95, ap50, summary).
+
+        ``infer_fn`` MUST be pure/idempotent — the first batch is run an
+        extra time as a compile warm-up before its timed call."""
         import contextlib
         import io
 

@@ -34,6 +34,9 @@ class VOCEvaluator:
                  half: bool = False, decode_fn: Callable | None = None):
         """Returns (mAP50:95, mAP50, summary) (ref `evaluate:48-119`).
 
+        ``infer_fn`` MUST be pure/idempotent — the first batch is run an
+        extra time as a compile warm-up before its timed call.
+
         ``decode_fn`` restores the fwd-vs-NMS timing split; see
         `COCOEvaluator.evaluate`."""
         import jax

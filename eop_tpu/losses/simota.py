@@ -49,8 +49,11 @@ class SimOTAConfig(NamedTuple):
     # Static capacity for candidate-anchor compaction (the TPU equivalent
     # of the reference's dynamic ``preds[fg_mask]`` gather,
     # `yolo_head.py:470-482`): the expensive pairwise stages run on the
-    # first ``cand_cap`` candidate anchors instead of all A.  0 disables
-    # compaction (full-lattice path).
+    # first ``cand_cap`` candidate anchors instead of all A.  Bit-exact
+    # while the candidate count fits the cap; on overflow low-priority
+    # padded-AABB anchors are shed (reported via ``cand_dropped`` and a
+    # rate-limited trainer warning).  0 disables compaction entirely
+    # (full-lattice path) — required for reference-exact training.
     cand_cap: int = CAND_CAP
 
 

@@ -35,7 +35,11 @@ from ..parallel.mesh import (
     shard_train_step,
 )
 from ..utils.logger import logger, setup_logger
-from ..utils.metric import MeterBuffer, device_mem_usage
+from ..utils.metric import (
+    CandidateDropMonitor,
+    MeterBuffer,
+    device_mem_usage,
+)
 from ..utils.model_utils import get_model_info
 from .checkpoint import load_checkpoint, load_ckpt_partial, save_checkpoint
 from .steps import TrainState, create_train_state, make_train_step_bbox
@@ -58,6 +62,7 @@ class Trainer:
         self.input_size = exp.input_size
         self.best_ap = 0.0
         self.meter = MeterBuffer(window_size=exp.print_interval)
+        self.drop_monitor = CandidateDropMonitor(logger)
         from ..parallel.dist import get_rank, is_main_process
 
         self.is_main = is_main_process()
@@ -248,6 +253,9 @@ class Trainer:
                 cls_loss=float(host_metrics["cls_loss"]),
                 l1_loss=float(host_metrics["l1_loss"]),
                 num_fg=float(host_metrics["num_fg"]),
+            )
+            self.drop_monitor.update(
+                host_metrics.get("cand_dropped", 0.0)
             )
 
             if (it + 1) % self.exp.print_interval == 0:

@@ -24,6 +24,7 @@ import numpy as np
 from ..losses import Loss24PConfig
 from ..parallel.mesh import make_mesh, shard_batch, shard_train_step
 from ..utils.logger import logger, setup_logger
+from ..utils.metric import CandidateDropMonitor
 from .checkpoint import load_checkpoint, load_ckpt_partial, save_checkpoint
 from .steps import create_train_state, make_train_step_24p
 
@@ -39,6 +40,7 @@ class Trainer24P:
         self.max_epoch = exp.max_epoch
         self.input_size = exp.input_size
         self.start_epoch = 0
+        self.drop_monitor = CandidateDropMonitor(logger)
 
         from ..parallel.dist import get_rank, is_main_process
 
@@ -62,6 +64,7 @@ class Trainer24P:
             world_size=nproc,
         )
         self.iters_per_epoch = len(self.train_loader)
+        self._dump_sampler_coverage()
 
         self.tblogger = None
         if self.is_main:
@@ -73,6 +76,33 @@ class Trainer24P:
                 )
             except ImportError:
                 pass
+
+    def _dump_sampler_coverage(self):
+        """Debug probe (EOP_DUMP_SAMPLER=<path>): write this process's
+        first-epoch sample indices + rank/world to a json file.
+
+        Lets the multi-host CLI regression test assert that ranks draw
+        disjoint shares of the dataset — the exact data-duplication bug
+        class fixed in round 2 (trainers forgetting to hand rank/world to
+        the samplers trains P identical copies)."""
+        path = os.environ.get("EOP_DUMP_SAMPLER")
+        if not path:
+            return
+        import itertools
+        import json
+
+        import jax
+
+        sampler = self.train_loader.batch_sampler.sampler
+        n = len(self.train_loader.dataset)
+        world = max(jax.process_count(), 1)
+        indices = list(itertools.islice(iter(sampler), n // world))
+        with open(path, "w") as f:
+            json.dump(
+                {"rank": jax.process_index(), "world": world,
+                 "dataset_len": n, "indices": indices},
+                f,
+            )
 
     def train(self):
         exp = self.exp
@@ -151,6 +181,8 @@ class Trainer24P:
                                 "cand_dropped", 0))) else ""
                         )
                     )
+                    # sampled at print cadence: each probe is a host fetch
+                    self.drop_monitor.update(dropped)
                 if self.tblogger is not None:
                     # one host transfer for the whole metric tree (each
                     # float() is a full tunnel round trip)

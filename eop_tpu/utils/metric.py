@@ -95,3 +95,37 @@ class MeterBuffer(defaultdict):
     def clear_meters(self):
         for v in self.values():
             v.clear()
+
+
+class CandidateDropMonitor:
+    """Rate-limited warning when SimOTA candidate compaction sheds anchors.
+
+    Compaction (``SimOTAConfig.cand_cap > 0``) is bit-exact while the
+    candidate superset fits the capacity; on overflow it sheds only
+    low-priority padded-AABB anchors — but shed anchors are legitimately
+    matchable, so assignment may then diverge from the reference's
+    full-lattice SimOTA.  A TB scalar alone is easy to miss; this surfaces
+    a ``logger.warning`` at most once per ``window`` steps while drops
+    persist.  Reference-exact training requires ``cand_cap=0``.
+    """
+
+    def __init__(self, log, window: int = 50):
+        self._log = log
+        self._window = window
+        self._steps = 0
+        self._dropped = 0
+
+    def update(self, dropped) -> None:
+        self._steps += 1
+        self._dropped += int(dropped)
+        if self._steps >= self._window:
+            if self._dropped:
+                self._log.warning(
+                    "SimOTA compaction shed %d candidate anchors over the "
+                    "last %d steps — assignment may diverge from the "
+                    "reference's full-lattice SimOTA; set cand_cap=0 "
+                    "(full-lattice path) for reference-exact training",
+                    self._dropped, self._steps,
+                )
+            self._steps = 0
+            self._dropped = 0
