@@ -67,7 +67,7 @@ def postprocess_bbox(
     class_agnostic: bool = False,
     max_detections: int = 300,
     nms_candidates: int = 512,
-    nms_fixpoint_iters: int | None = None,
+    nms_fixpoint_iters: int | str | None = None,
 ) -> Detections:
     """Returns rows [B, max_det, 7]: x1, y1, x2, y2, obj, cls_conf, cls."""
 
@@ -111,7 +111,7 @@ def postprocess_24p(
     max_detections: int = 300,
     nms_candidates: int = 512,
     reference_parity: bool = False,
-    nms_fixpoint_iters: int | None = None,
+    nms_fixpoint_iters: int | str | None = None,
 ) -> Detections:
     """Returns rows [B, max_det, 29]: x, y, r1..r24, obj, cls_conf, cls."""
 

@@ -64,6 +64,10 @@ class Exp24P(BaseExp):
         self.compute_dtype = "float32"
         # gradient checkpointing of the conv trunk (memory for ~15% time)
         self.remat = False
+        # "exact" = stationarity-checked NMS fixpoint in eval/infer handles
+        # (greedy-exact for any suppression-chain depth); serving keeps the
+        # fixed budget
+        self.nms_mode = "exact"
 
     # ------------------------------------------------------------------
 
@@ -286,6 +290,10 @@ class Exp24P(BaseExp):
                 conf_thre=self.test_conf,
                 nms_thre=self.nmsthre,
                 reference_parity=self.reference_parity,
+                nms_fixpoint_iters=(
+                    "exact" if getattr(self, "nms_mode", "exact") == "exact"
+                    else None
+                ),
             )
 
         return infer

@@ -31,7 +31,7 @@ FIXPOINT_ITERS = 16
 
 def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
               same_class: jnp.ndarray | None = None,
-              fixpoint_iters: int | None = None):
+              fixpoint_iters: int | str | None = None):
     """Greedy NMS over boxes already sorted by descending score, computed
     as an iterate-to-fixpoint matrix recurrence instead of a K-step serial
     sweep.
@@ -47,6 +47,9 @@ def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
     Args:
       iou: [K, K] pairwise IoU of the sorted candidates.
       valid: [K] bool — candidate passes the score threshold.
+      fixpoint_iters: iteration budget (int), None for the scaled default,
+        or ``"exact"`` for a stationarity-checked ``while_loop`` (exact for
+        arbitrary adversarial chains; see below).
     Returns:
       keep: [K] bool mask in sorted order.
     """
@@ -57,23 +60,45 @@ def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
     if same_class is not None:
         overlap &= same_class
 
+    def apply_f(cur):
+        suppressed = jnp.any(overlap & cur[:, None], axis=0)
+        return valid & ~suppressed
+
+    # "exact": iterate until stationary.  F's fixpoint is unique and equals
+    # the greedy solution, so F(keep) == keep certifies exactness — this
+    # mode is greedy-exact for ANY input, including adversarial suppression
+    # chains of depth K (where any fixed budget < K is wrong; pinned by
+    # tests/test_nms_adversarial.py).  Cost is data-adaptive: one [K, K]
+    # reduction per chain-depth level, the same as the budget path on
+    # realistic data.  Used by the evaluators; the serving path keeps the
+    # fixed budget (static schedule).
+    if fixpoint_iters == "exact":
+        def cond(state):
+            _, changed, i = state
+            return changed & (i < k)
+
+        def body(state):
+            cur, _, i = state
+            new = apply_f(cur)
+            return new, jnp.any(new != cur), i + 1
+
+        keep, _, _ = jax.lax.while_loop(
+            cond, body, (valid, jnp.asarray(True), jnp.asarray(0))
+        )
+        return keep
+
     # Fixed iteration budget: convergence needs (suppression chain depth)
     # iterations; measured depth on dense worst-case data (1000 random
     # boxes/img, 37% survivors) is <16 — identical results at 16 and 64
-    # iterations.  A data-dependent while_loop is exact for arbitrary
-    # adversarial chains but compiles ~50x slower under vmap.  The default
-    # budget scales with the candidate count (k/8, floor FIXPOINT_ITERS) so
-    # dense low-threshold configs stay greedy-exact; callers with deeper
-    # chains can raise ``fixpoint_iters`` (k is always exact).
+    # iterations.  The default budget scales with the candidate count
+    # (k/8, floor FIXPOINT_ITERS) so dense low-threshold configs stay
+    # greedy-exact; adversarial chains deeper than the budget need
+    # ``"exact"`` (k as an int budget is also always exact).
     if fixpoint_iters is None:
         fixpoint_iters = max(FIXPOINT_ITERS, k // 8)
     iters = min(fixpoint_iters, k)
 
-    def body(_, cur):
-        suppressed = jnp.any(overlap & cur[:, None], axis=0)
-        return valid & ~suppressed
-
-    return jax.lax.fori_loop(0, iters, body, valid)
+    return jax.lax.fori_loop(0, iters, lambda _, cur: apply_f(cur), valid)
 
 
 def nms_on_candidates(
@@ -81,7 +106,7 @@ def nms_on_candidates(
     valid: jnp.ndarray,
     iou_threshold: float,
     class_ids: jnp.ndarray | None = None,
-    fixpoint_iters: int | None = None,
+    fixpoint_iters: int | str | None = None,
 ) -> jnp.ndarray:
     """NMS over candidates ALREADY sorted by descending score.
 
@@ -110,7 +135,7 @@ def nms(
     iou_threshold: float,
     score_threshold: float = 0.0,
     max_candidates: int | None = None,
-    fixpoint_iters: int | None = None,
+    fixpoint_iters: int | str | None = None,
 ):
     """Class-agnostic NMS with static shapes.
 
@@ -146,7 +171,7 @@ def batched_class_nms(
     iou_threshold: float,
     score_threshold: float = 0.0,
     max_candidates: int | None = None,
-    fixpoint_iters: int | None = None,
+    fixpoint_iters: int | str | None = None,
 ):
     """Per-class NMS (torchvision `batched_nms` semantics, ref
     `boxes.py:60-65`): boxes of different classes never suppress each
