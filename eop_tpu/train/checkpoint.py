@@ -25,6 +25,31 @@ def _to_host(tree):
     return jax.device_get(tree)
 
 
+def _single_process_checkpointer():
+    """A checkpointer whose barriers span only THIS process.
+
+    Orbax's default ``Checkpointer.save`` runs a global
+    ``sync_global_processes`` that every jax process must join — but the
+    trainers save rank-0-only (one writer per checkpoint dir, local
+    filesystems).  With the default options a multi-host run deadlocks at
+    the first save and dies on Gloo's 30 s rendezvous timeout (caught by
+    `tests/test_multihost_cli.py`).  The payload is already host numpy
+    (``_to_host``), so single-process semantics are correct.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return ocp.PyTreeCheckpointer()
+    me = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"proc{me}",
+        ),
+    )
+
+
 def save_checkpoint(state: Any, is_best: bool, save_dir: str,
                     model_name: str, metadata: Optional[Dict] = None):
     """Save ``<save_dir>/<model_name>_ckpt`` (+ ``best_ckpt`` copy)
@@ -34,7 +59,7 @@ def save_checkpoint(state: Any, is_best: bool, save_dir: str,
     payload = {"state": _to_host(state)}
     if metadata:
         payload["metadata"] = dict(metadata)
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _single_process_checkpointer()
     if os.path.exists(path):
         shutil.rmtree(path)
     ckptr.save(path, payload)
@@ -46,8 +71,11 @@ def save_checkpoint(state: Any, is_best: bool, save_dir: str,
 
 
 def load_checkpoint(path: str):
-    """Load a checkpoint directory -> payload dict."""
-    ckptr = ocp.PyTreeCheckpointer()
+    """Load a checkpoint directory -> payload dict.
+
+    Local read, process-local barrier: every rank that has the file can
+    restore independently (a rank without it must not block the others)."""
+    ckptr = _single_process_checkpointer()
     return ckptr.restore(os.path.abspath(path))
 
 

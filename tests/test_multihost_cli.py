@@ -1,0 +1,125 @@
+"""Multi-host regression for the full training CLI.
+
+Round 2 drove `tools/train_24p.py --multi-host` across 2 processes by hand
+(Gloo mesh, loss decreasing, rank-0-only artifacts) and fixed real wiring
+bugs on the way — but only the lower-level mesh/collective layer had
+automated coverage (`test_multihost.py`).  This test pins the CLI wiring
+itself: 2 subprocesses, 1 tiny synthetic epoch, asserting
+
+1. both ranks exit cleanly (the Gloo mesh connects),
+2. the cross-process global-batch loss decreases over the epoch,
+3. checkpoints and the log file are written by rank 0 only,
+4. the two ranks' samplers draw disjoint, jointly-covering halves of the
+   dataset (the exact data-duplication bug class fixed in round 2).
+
+Capability reference: `/root/reference/yolox/core/launch.py:39-147`.
+"""
+
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def synth24p(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mh24p")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_synth_datasets.py"),
+         "24p", "--out", str(root), "--size", "96", "--n", "16"],
+        check=True, cwd=REPO,
+    )
+    return root
+
+
+def test_train_24p_multihost_cli(synth24p, tmp_path):
+    port = _free_port()
+    n = 2
+    outdirs = [tmp_path / f"rank{i}" for i in range(n)]
+    dumps = [tmp_path / f"sampler{i}.json" for i in range(n)]
+
+    def child_env(rank):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if not f.startswith("--xla_force_host_platform_device_count")
+        )
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=2"
+        ).strip()
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        # one SHARED compile cache: per-rank caches skew compile times past
+        # Gloo's rendezvous timeout (hard-won round-2 finding)
+        env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "shared_cache")
+        env["EOP_DUMP_SAMPLER"] = str(dumps[rank])
+        return env
+
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, os.path.join(REPO, "tools", "train_24p.py"),
+                "-f", "load_train/yolox_24p_train.py", "-b", "4", "-l", "0.01",
+                "--data-dir", str(synth24p / "imgs"),
+                "--label-dir", str(synth24p / "labels"),
+                "--max-epoch", "1",
+                "--multi-host", "--platform", "cpu",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", str(n), "--process-id", str(i),
+                "depth", "0.33", "width", "0.25",
+                "input_size", "(96,96)", "test_size", "(96,96)",
+                "num_classes", "3", "print_interval", "1",
+                "output_dir", str(outdirs[i]),
+            ],
+            env=child_env(i), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(n)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=840)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-4000:]}"
+
+    # (2) the global-batch loss decreases over the epoch (rank-0 log)
+    log = (outdirs[0] / "yolox_24p" / "train_log.txt").read_text()
+    losses = [float(m) for m in re.findall(r"iter \d+/\d+ loss ([\d.]+)", log)]
+    assert len(losses) >= 3, log[-2000:]
+    assert np.mean(losses[-2:]) < np.mean(losses[:2]), losses
+
+    # (3) artifacts are rank-0-only
+    rank0 = outdirs[0] / "yolox_24p"
+    assert (rank0 / "train_log.txt").exists()
+    assert list(rank0.glob("*ckpt*")), list(rank0.iterdir())
+    rank1 = outdirs[1] / "yolox_24p"
+    if rank1.exists():
+        assert not (rank1 / "train_log.txt").exists()
+        assert not list(rank1.glob("*ckpt*")), list(rank1.iterdir())
+
+    # (4) samplers draw disjoint, jointly-covering halves
+    cov = [json.loads(d.read_text()) for d in dumps]
+    assert {c["rank"] for c in cov} == {0, 1}
+    assert all(c["world"] == 2 for c in cov)
+    halves = [set(c["indices"]) for c in sorted(cov, key=lambda c: c["rank"])]
+    assert halves[0].isdisjoint(halves[1]), halves
+    assert halves[0] | halves[1] == set(range(cov[0]["dataset_len"])), halves
