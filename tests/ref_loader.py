@@ -123,6 +123,20 @@ def ref_24p_boxes():
     return _load_file("_ref_24p_boxes", f"{REF}/yolox_24p/utils/boxes.py")
 
 
+def ref_24p_model(depth: float, width: float, num_classes: int):
+    """Build the reference's torch YOLOX-24p model (CSPDarknet PAFPN +
+    26-channel head, `yolox_24p/models/`), eval mode on CPU."""
+    ref_24p_losses()  # installs the `utils` stub + ref_models_24p package
+    pafpn_mod = importlib.import_module("ref_models_24p.yolo_pafpn")
+    head_mod = importlib.import_module("ref_models_24p.yolo_head_24p")
+    yolox_mod = importlib.import_module("ref_models_24p.yolox")
+    model = yolox_mod.YOLOX(
+        backbone=pafpn_mod.YOLOPAFPN(depth=depth, width=width),
+        head=head_mod.YOLOXHead(num_classes, width=width),
+    )
+    return model.eval()
+
+
 def ref_demo_featuremap():
     """Import the reference's demo_featuremap.py (all logic is under the
     __main__ guard, so the import is side-effect free).  Its heavy imports

@@ -187,6 +187,29 @@ def golden_setup():
         )
     assert len(images) == 12
 
+    # ---- second source image: a synthetic multi-object scene (the r2
+    # golden set derived every variant from one COCO photo) ----
+    scene = np.full_like(ori_img, 114)
+    scene_mask = np.zeros(ori_img.shape[:2], np.uint8)
+    cx, cy = ori_w // 3, ori_h // 2
+    cv2.ellipse(scene, (cx, cy), (60, 40), 20, 0, 360, (60, 180, 230), -1)
+    cv2.ellipse(scene_mask, (cx, cy), (60, 40), 20, 0, 360, 1, -1)
+    rx, ry = 2 * ori_w // 3, ori_h // 4
+    cv2.rectangle(scene, (rx, ry), (rx + 90, ry + 70), (200, 90, 40), -1)
+    cv2.rectangle(scene_mask, (rx, ry), (rx + 90, ry + 70), 1, -1)
+    cv2.circle(scene, (ori_w // 2, 3 * ori_h // 4), 35, (30, 220, 90), -1)
+    cv2.circle(scene_mask, (ori_w // 2, 3 * ori_h // 4), 35, 1, -1)
+    ys, xs = np.nonzero(scene_mask)
+    images.append(("scene_raw", scene,
+                   [float(xs.min()), float(ys.min()),
+                    float(xs.max() - xs.min()), float(ys.max() - ys.min())]))
+    warped2, bbox2 = dist.sector_distort(
+        scene, scene_mask[..., None].repeat(3, axis=2), theta=60
+    )
+    images.append(("scene_th60", warped2,
+                   [float(v) for v in (bbox2 or [0, 0, 1, 1])]))
+    assert len(images) == 14
+
     @jax.jit
     def forward(imgs):
         head_outs, _ = fm.apply(variables, imgs, False)
