@@ -77,44 +77,64 @@ def _row_tile(h_out: int, cap: int = 16) -> int:
     return 1
 
 
-def _row_tile_for_budget(h: int, kh2: int, wp: int, c: int,
-                         itemsize: int, budget_bytes: int) -> int:
-    """Largest row tile whose input block fits the VMEM budget.
+def _row_tile_for_budget(h: int, kh2: int, kw2: int, wp: int, wd: int,
+                         c: int, co: int, itemsize: int,
+                         budget_bytes: int) -> int:
+    """Largest row tile whose working set fits the scoped-VMEM budget.
 
     Big tiles matter: the per-grid-step overhead is ~8 us on v5e, so
-    hundreds of small steps cost more than the matmuls themselves.
+    hundreds of small steps cost more than the matmuls themselves.  The
+    working set per output row: the double-buffered input block row, the
+    f32 accumulator + one partial, and ~2 live tap operands.
     """
-    cap = max(1, budget_bytes // max(1, wp * c * itemsize) - (kh2 - 1))
+    # VMEM stores the minor dim in 128-lane tiles: a 12- or 64-channel
+    # block still occupies 128 lanes, so budget against the PADDED sizes
+    c_pad = 128 * max(1, -(-c // 128))
+    co_pad = 128 * max(1, -(-co // 128))
+    per_row = (
+        2 * kw2 * wp * c_pad * itemsize   # input blocks (x2 buffers, kw2 refs)
+        + 2 * wd * co_pad * 4             # f32 accumulator + partial
+        + 2 * wd * c_pad * itemsize       # live tap operands
+        + 2 * wd * co_pad * itemsize      # output block (x2 buffers)
+    )
+    cap = max(1, budget_bytes // per_row - (kh2 - 1))
     return _row_tile(h, cap=min(cap, h - kh2 + 1) if h > kh2 else 1)
 
 
-def _conv_kernel(x_ref, w_ref, o_ref, *, taps, tr, w_out, c_in, acc_dtype):
-    """One grid step: tap-accumulated MXU matmuls over the haloed block.
+def _conv_kernel(*refs, taps, tr, w_out, c_in, acc_dtype):
+    """One grid step: tap-accumulated MXU matmuls over haloed row blocks.
 
-    ``x_ref`` is an overlapping Element row window of the PHYSICALLY
-    padded input: [1, tr + kh2 - 1, w_out + kw2 - 1, c] — halos and edge
-    padding are real zeros, so no masking is needed.
-
-    Per-tap operands are built with a sublane ``roll`` (column shift) and
-    START-aligned slices, so every reshape to the [tr*w_out, c] matmul
-    operand is layout-free — an explicit im2col concat costs ~3x the
-    matmul time in relayouts (measured on v5e).
+    Inputs are kw2 COLUMN-PRESHIFTED copies of the padded input (one per
+    horizontal tap), each delivered as an overlapping Element row window
+    [1, tr + kh2 - 1, w_out, c].  Horizontal shifts done outside the
+    kernel + vertical shifts as ROW slices keep every tap operand
+    layout-free: rows are not a tiled dim, and the [tr, w, c] ->
+    [tr*w, c] reshape preserves the (w, c) tiling.  (Slicing columns
+    in-kernel instead costs a relayout per tap — measured ~5.5 ms of the
+    9 ms dark2 kernel on v5e.)
     """
     kh2, kw2 = taps
-    block = x_ref[0]
-    acc = None
-    for dy in range(kh2):
-        for dx in range(kw2):
-            tap = block[dy: dy + tr, dx: dx + w_out].reshape(
-                tr * w_out, c_in
-            )
-            part = jnp.dot(tap, w_ref[dy * kw2 + dx],
-                           preferred_element_type=acc_dtype)
-            acc = part if acc is None else acc + part
+    x_refs, w_ref, o_ref = refs[:kw2], refs[kw2], refs[kw2 + 1]
+    acc = jnp.zeros((tr * w_out, w_ref.shape[-1]), acc_dtype)
+    for dx in range(kw2):
+        block = x_refs[dx]
+
+        def tap_step(dy, a, block=block, dx=dx):
+            # dynamic row start: rows are untiled, so the slice + reshape
+            # stay layout-free
+            tap = block[0, pl.ds(dy, tr)].reshape(tr * w_out, c_in)
+            return a + jnp.dot(tap, w_ref[dy * kw2 + dx],
+                               preferred_element_type=acc_dtype)
+
+        # fori_loop bounds the live temporaries: a fully unrolled tap sum
+        # keeps every partial alive and blows the 16 MB scoped-VMEM limit
+        # on the 9-tap stem
+        acc = jax.lax.fori_loop(0, kh2, tap_step, acc)
     o_ref[:] = acc.reshape(1, tr, w_out, -1).astype(o_ref.dtype)
 
 
-def _phase_conv_s1(x: jnp.ndarray, w2: jnp.ndarray, pads) -> jnp.ndarray:
+def _phase_conv_s1(x: jnp.ndarray, w2: jnp.ndarray, pads,
+                   row_tile: int | None = None) -> jnp.ndarray:
     """Stride-1 conv on the (possibly phase-folded) grid via the Pallas
     tap-matmul kernel.  x [B, H, W, C']; w2 [kh2, kw2, C', Co].
 
@@ -133,13 +153,15 @@ def _phase_conv_s1(x: jnp.ndarray, w2: jnp.ndarray, pads) -> jnp.ndarray:
     assert kh2 - 1 == pt + pb and kw2 - 1 == pl_ + pr, (pads, w2.shape)
     assert h >= kh2, (h, kh2)
     wp = wd + pl_ + pr
-    tr = _row_tile_for_budget(
-        h, kh2, wp, c, jnp.dtype(x.dtype).itemsize,
-        budget_bytes=3 * 1024 * 1024,
+    tr = row_tile or _row_tile_for_budget(
+        h, kh2, kw2, wp, wd, c, co, jnp.dtype(x.dtype).itemsize,
+        budget_bytes=12 * 1024 * 1024,
     )
     rows_needed = tr + kh2 - 1
 
     x_p = jnp.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)))
+    # one column-preshifted copy per horizontal tap (see _conv_kernel)
+    x_shifts = [x_p[:, :, dx: dx + wd, :] for dx in range(kw2)]
     wf = w2.reshape(kh2 * kw2, c, co).astype(x.dtype)
     kernel = functools.partial(
         _conv_kernel,
@@ -150,7 +172,7 @@ def _phase_conv_s1(x: jnp.ndarray, w2: jnp.ndarray, pads) -> jnp.ndarray:
         (
             pl_core.Element(1),
             pl_core.Element(rows_needed),
-            pl_core.Element(wp),
+            pl_core.Element(wd),
             pl_core.Element(c),
         ),
         lambda bb, tt: (bb, tt * tr, 0, 0),
@@ -159,8 +181,7 @@ def _phase_conv_s1(x: jnp.ndarray, w2: jnp.ndarray, pads) -> jnp.ndarray:
     return pl.pallas_call(
         kernel,
         grid=(b, h // tr),
-        in_specs=[
-            x_spec,
+        in_specs=[x_spec] * kw2 + [
             pl.BlockSpec((kh2 * kw2, c, co),
                          lambda bb, tt: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -171,12 +192,12 @@ def _phase_conv_s1(x: jnp.ndarray, w2: jnp.ndarray, pads) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((b, h, wd, co), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=x_p.size * x_p.dtype.itemsize
+            bytes_accessed=kw2 * x_p.size * x_p.dtype.itemsize
             + wf.size * wf.dtype.itemsize
             + b * h * wd * co * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x_p, wf)
+    )(*x_shifts, wf)
 
 
 def _supported(k: int, stride: int, padding: int) -> bool:
@@ -192,7 +213,7 @@ PHASE_CONV_SUPPORTED = _supported
 
 
 def phase_conv(x: jnp.ndarray, w: jnp.ndarray, stride: int,
-               padding: int) -> jnp.ndarray:
+               padding: int, row_tile: int | None = None) -> jnp.ndarray:
     """NHWC x HWIO conv via phase matmuls; semantics of
     ``lax.conv_general_dilated`` with symmetric ``padding`` per side.
 
@@ -204,9 +225,10 @@ def phase_conv(x: jnp.ndarray, w: jnp.ndarray, stride: int,
     assert _supported(k, stride, padding), (k, stride, padding)
     if stride == 1:
         p = (k - 1) // 2
-        return _phase_conv_s1(x, w, (p, p, p, p))
+        return _phase_conv_s1(x, w, (p, p, p, p), row_tile)
     assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, x.shape
     _, pt, pb = _phase_geometry(k, padding)
     return _phase_conv_s1(
-        _space_to_depth(x), _phase_weights(w, padding), (pt, pb, pt, pb)
+        _space_to_depth(x), _phase_weights(w, padding), (pt, pb, pt, pb),
+        row_tile,
     )

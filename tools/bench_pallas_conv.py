@@ -89,5 +89,42 @@ def main():
               f"   maxdiff={float(d):.3g}")
 
 
+
+
+def sweep():
+    """Row-tile sweep for the dark2 down conv (run: --sweep)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eop_tpu.ops.pallas import phase_conv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(32, 320, 320, 32), jnp.bfloat16)
+    wgt = jnp.asarray(rng.randn(3, 3, 32, 64) * 0.05, jnp.bfloat16)
+    for tr in (16, 20, 32, 40, 80):
+        try:
+            fn = jax.jit(functools.partial(
+                phase_conv, stride=2, padding=1, row_tile=tr))
+            out = fn(x, wgt)
+            jax.device_get(out.ravel()[0])
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                for _ in range(20):
+                    out = fn(x, wgt)
+                jax.device_get(out.ravel()[0])
+                best = min(best, (time.time() - t0) / 20)
+            print(f"tr={tr:3d}  {best*1e3:7.3f} ms  "
+                  f"{30.2/best/1e3:6.2f} TF/s")
+        except Exception as e:
+            print(f"tr={tr:3d}  FAILED: {str(e)[:120]}")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--sweep" in _sys.argv:
+        sweep()
+    else:
+        main()
