@@ -1,0 +1,97 @@
+"""Background AOT compilation of the multiscale shape buckets.
+
+The bbox trainer draws a new input size every 10 iters
+(ref `yolox/exp/yolox_base.py:166-185`), so the jitted train step sees
+(2*multiscale_range + 1) distinct image shapes, each a separate XLA
+program.  Measured cold (tools/measure_compile_cost.py, BASELINE.md):
+~10 minutes for 5 buckets over the axon tunnel, vs ~0.05 s warm — the
+first epoch of a fresh run stalls minutes at a time whenever the draw
+lands on an uncompiled bucket.
+
+Mitigation: compile every bucket ahead-of-time on a daemon thread while
+epoch 0 trains.  ``jit.lower(...).compile()`` takes abstract
+``ShapeDtypeStruct`` args (no device buffers touched, donation is
+irrelevant) and the resulting executable lands in the persistent
+compilation cache, so the main loop's first visit to a bucket becomes a
+disk deserialize instead of a fresh XLA compile.  XLA releases the GIL
+during compilation and PJRT clients are thread-safe, so the prewarm
+overlaps cleanly with on-device training steps.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def multiscale_buckets(exp) -> list:
+    """Every (h, w) the exp's random_resize can draw, ascending."""
+    if getattr(exp, "random_size", None) is not None:
+        lo, hi = exp.random_size
+    else:
+        base = int(exp.input_size[0] / 32)
+        lo, hi = base - exp.multiscale_range, base + exp.multiscale_range
+    return [(32 * s, 32 * s) for s in range(lo, hi + 1)]
+
+
+def prewarm_step_buckets(
+    step_fn,
+    state,
+    sizes: Sequence[Tuple[int, int]],
+    batch_size: int,
+    label_shape: Tuple[int, ...],
+    skip: Sequence[Tuple[int, int]] = (),
+    log: Optional[Callable[[str], None]] = None,
+) -> int:
+    """AOT-compile ``step_fn`` for each image size in ``sizes``.
+
+    ``state`` may be concrete or abstract; only shapes/dtypes are read.
+    Returns the number of buckets compiled (skips failures — a prewarm
+    miss only costs the latency it was hiding).
+    """
+    state_abs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        state,
+    )
+    rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    lbl_abs = jax.ShapeDtypeStruct(tuple(label_shape), jnp.float32)
+    done = 0
+    skip = set(skip)
+    for size in sizes:
+        if tuple(size) in skip:
+            continue
+        img_abs = jax.ShapeDtypeStruct(
+            (batch_size, size[0], size[1], 3), jnp.float32
+        )
+        try:
+            step_fn.lower(state_abs, img_abs, lbl_abs, rng_abs).compile()
+            done += 1
+            if log:
+                log(f"prewarm: bucket {size[0]}px compiled ({done} done)")
+        except Exception as e:  # noqa: BLE001 — prewarm is best-effort
+            if log:
+                log(f"prewarm: bucket {size[0]}px failed: {e!r}")
+    return done
+
+
+def start_prewarm_thread(
+    step_fn,
+    state,
+    sizes,
+    batch_size: int,
+    label_shape,
+    skip=(),
+    log=None,
+) -> threading.Thread:
+    t = threading.Thread(
+        target=prewarm_step_buckets,
+        args=(step_fn, state, sizes, batch_size, label_shape),
+        kwargs={"skip": skip, "log": log},
+        name="eop-bucket-prewarm",
+        daemon=True,
+    )
+    t.start()
+    return t

@@ -164,6 +164,7 @@ class Trainer:
         self.use_l1 = False
         self._epoch_iter = None
         self._mosaic_switched = False
+        self._prewarm_started = False
 
         self.tblogger = None
         if self.is_main:
@@ -228,6 +229,9 @@ class Trainer:
             imgs, labels, _, _ = next(self._epoch_iter)
             imgs = jnp.asarray(np.ascontiguousarray(imgs, np.float32))
             labels = jnp.asarray(np.ascontiguousarray(labels, np.float32))
+            if not self._prewarm_started:
+                self._prewarm_started = True
+                self._maybe_start_prewarm(step_fn, imgs, labels)
             if tsize != self.input_size:
                 imgs, labels = self.exp.preprocess(imgs, labels, tsize)
             data_time = time.time() - iter_start
@@ -266,6 +270,46 @@ class Trainer:
             # seeded by the global step so all hosts agree
             if (self.progress_in_iter + 1) % 10 == 0:
                 tsize = self.exp.random_resize(self.progress_in_iter + 1)
+
+    def _maybe_start_prewarm(self, step_fn, imgs, labels):
+        """Kick off background compilation of every multiscale bucket.
+
+        A fresh-cache run otherwise stalls minutes per bucket when the
+        10-iter multiscale draw first lands on a new size (measured:
+        tools/measure_compile_cost.py, BASELINE.md).  Uses the first real
+        batch's shapes so the AOT signature matches the dispatch path
+        exactly; the base bucket is skipped (the main thread compiles it
+        at iter 0).  Disable with ``--no-prewarm`` / EOP_NO_PREWARM=1.
+        """
+        if not getattr(self.args, "prewarm", True):
+            return
+        if os.environ.get("EOP_NO_PREWARM"):
+            return
+        from .prewarm import multiscale_buckets, start_prewarm_thread
+
+        sizes = [
+            s for s in multiscale_buckets(self.exp)
+            if s != tuple(self.input_size)
+        ]
+        if not sizes:
+            return
+        nproc = max(jax.process_count(), 1)
+        global_b = imgs.shape[0] * nproc
+        lbl_shape = (global_b,) + tuple(labels.shape[1:])
+        logger.info(
+            f"prewarm: compiling {len(sizes)} multiscale buckets in the "
+            "background"
+        )
+        # abstract the state NOW: its buffers are about to be donated by
+        # the jitted step, and the thread must never touch live arrays
+        state_abs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+            self.state,
+        )
+        self._prewarm_thread = start_prewarm_thread(
+            step_fn, state_abs, sizes, global_b, lbl_shape,
+            log=logger.info,
+        )
 
     def _log_iter(self, it, tsize):
         left_iters = (

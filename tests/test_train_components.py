@@ -278,3 +278,58 @@ def test_trainstate_checkpoint_roundtrip_restores_weights(tmp_path):
         np.asarray(jax.tree.leaves(state.params)[0]),
         rtol=1e-6,
     )
+
+
+def test_prewarm_buckets_compile_and_run():
+    """Background AOT prewarm (train/prewarm.py): the lowered signature
+    must match the trainer's dispatch path exactly, so a prewarmed bucket
+    executes without a fresh trace when later called with real arrays."""
+    from eop_tpu.exp import Exp
+    from eop_tpu.losses import YoloxLossConfig
+    from eop_tpu.models import YOLOX
+    from eop_tpu.parallel.mesh import make_mesh, shard_train_step
+    from eop_tpu.train.prewarm import (
+        multiscale_buckets,
+        prewarm_step_buckets,
+        start_prewarm_thread,
+    )
+    from eop_tpu.train.steps import create_train_state, make_train_step_bbox
+
+    exp = Exp()
+    exp.input_size = (64, 64)
+    exp.multiscale_range = 1
+    assert multiscale_buckets(exp) == [(32, 32), (64, 64), (96, 96)]
+    exp.random_size = (1, 2)
+    assert multiscale_buckets(exp) == [(32, 32), (64, 64)]
+
+    model = YOLOX(depth=0.33, width=0.125, num_classes=2)
+    tx = build_sgd(0.01, momentum=0.9, weight_decay=5e-4)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        use_ema=True,
+    )
+    step = shard_train_step(
+        make_train_step_bbox(model, tx, YoloxLossConfig(num_classes=2),
+                             ema_decay=0.9998),
+        make_mesh(n_devices=2),
+    )
+    n = prewarm_step_buckets(
+        step, state, [(32, 32), (64, 64)], batch_size=2,
+        label_shape=(2, 5, 5), skip=[(64, 64)],
+    )
+    assert n == 1  # the base bucket was skipped
+
+    # thread variant with abstract state (what the trainer passes: the
+    # real state's buffers get donated away by the running step)
+    state_abs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), state
+    )
+    t = start_prewarm_thread(step, state_abs, [(96, 96)], 2, (2, 5, 5))
+    t.join(timeout=300)
+    assert not t.is_alive()
+
+    # a prewarmed bucket must now actually run with concrete arrays
+    imgs = jnp.zeros((2, 96, 96, 3), jnp.float32)
+    labels = jnp.zeros((2, 5, 5), jnp.float32)
+    state, metrics = step(state, imgs, labels, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))

@@ -33,6 +33,9 @@ def make_parser():
     parser.add_argument("--cache", action="store_true",
                         help="cache resized images via np.memmap")
     parser.add_argument("--data-dir", type=str, default=None)
+    parser.add_argument("--no-prewarm", dest="prewarm", action="store_false",
+                        help="skip background AOT compile of the "
+                             "multiscale shape buckets")
     parser.add_argument("--multi-host", action="store_true",
                         help="call jax.distributed.initialize() first")
     parser.add_argument("--coordinator", type=str, default=None,
