@@ -153,3 +153,83 @@ def test_voc_real_model_e2e(tmp_path):
     assert np.isfinite(map50) and np.isfinite(map5095)
     assert 0.0 <= map50 <= 1.0
     assert "mAP" in summary or "Average forward time" in summary, summary
+
+
+def test_voc_eval_randomized_parity_vs_reference(tmp_path):
+    """The restructured voc_eval (image-grouped matching, suffix-max AP)
+    must agree with the reference's transcription of the canonical
+    py-faster-rcnn protocol on randomized dets: ties in confidence,
+    difficult GT, duplicate detections, images with no GT of the class,
+    both AP metrics."""
+    import importlib.util
+
+    from eop_tpu.eval.voc_eval import voc_eval
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_voc_eval", "/root/reference/yolox/evaluators/voc_eval.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.RandomState(7)
+    year = tmp_path / "VOC2007"
+    for sub in ("Annotations", "ImageSets/Main"):
+        (year / sub).mkdir(parents=True)
+    names = [f"{i:06d}" for i in range(6)]
+    for name in names:
+        ann = ET.Element("annotation")
+        for _ in range(int(rng.randint(0, 4))):
+            x, y = rng.randint(0, 80, 2)
+            bw, bh = rng.randint(10, 60, 2)
+            obj = ET.SubElement(ann, "object")
+            ET.SubElement(obj, "name").text = str(
+                rng.choice(["cat", "dog"])
+            )
+            ET.SubElement(obj, "pose").text = "Unspecified"
+            ET.SubElement(obj, "truncated").text = "0"
+            ET.SubElement(obj, "difficult").text = str(
+                int(rng.rand() < 0.3)
+            )
+            bb = ET.SubElement(obj, "bndbox")
+            for tag, v in zip(("xmin", "ymin", "xmax", "ymax"),
+                              (x, y, x + bw, y + bh)):
+                ET.SubElement(bb, tag).text = str(int(v))
+        ET.ElementTree(ann).write(str(year / "Annotations" / (name + ".xml")))
+    (year / "ImageSets" / "Main" / "test.txt").write_text(
+        "\n".join(names) + "\n"
+    )
+
+    det_file = tmp_path / "det_{}.txt"
+    lines = []
+    for _ in range(60):
+        name = names[rng.randint(len(names))]
+        x, y = rng.randint(0, 90, 2)
+        bw, bh = rng.randint(8, 70, 2)
+        conf = round(float(rng.rand()), 2)  # coarse -> frequent ties
+        lines.append(f"{name} {conf} {x} {y} {x + bw} {y + bh}")
+    (tmp_path / "det_cat.txt").write_text("\n".join(lines) + "\n")
+
+    for use_07 in (False, True):
+        got = voc_eval(
+            str(det_file), str(year / "Annotations" / "{}.xml"),
+            str(year / "ImageSets" / "Main" / "test.txt"), "cat",
+            str(tmp_path / "cache_ours"), ovthresh=0.5,
+            use_07_metric=use_07,
+        )
+        want = ref.voc_eval(
+            str(det_file), str(year / "Annotations" / "{}.xml"),
+            str(year / "ImageSets" / "Main" / "test.txt"), "cat",
+            str(tmp_path / "cache_ref"), ovthresh=0.5,
+            use_07_metric=use_07,
+        )
+        np.testing.assert_allclose(got[0], want[0], err_msg="recall")
+        np.testing.assert_allclose(got[1], want[1], err_msg="precision")
+        assert got[2] == pytest.approx(want[2], abs=1e-12), f"07={use_07}"
+
+    # empty det file -> the reference's scalar triple
+    (tmp_path / "det_dog.txt").write_text("")
+    assert voc_eval(
+        str(det_file), str(year / "Annotations" / "{}.xml"),
+        str(year / "ImageSets" / "Main" / "test.txt"), "dog",
+        str(tmp_path / "cache_ours2"),
+    ) == (0.0, 0.0, 0.0)

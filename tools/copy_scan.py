@@ -25,10 +25,6 @@ REFERENCE = Path("/root/reference")
 
 # pair -> reason; these are allowed to exceed the threshold
 ADJUDICATED = {
-    ("eop_tpu/eval/voc_eval.py", "yolox/evaluators/voc_eval.py"):
-        "canonical py-faster-rcnn VOC AP algorithm (metric compatibility)",
-    ("eop_tpu/eval/voc_eval.py", "yolox_24p/evaluators/voc_eval.py"):
-        "same (byte-identical reference copy)",
     ("eop_tpu/exp/base_exp.py", "yolox/exp/base_exp.py"):
         "Exp API surface is the spec (abstract methods + merge)",
     ("eop_tpu/exp/base_exp.py", "yolox_24p/exp/base_exp.py"):
