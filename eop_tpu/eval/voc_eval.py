@@ -28,7 +28,9 @@ def parse_rec(filename):
         return 0 if n is None else int(n.text)
 
     out = []
-    for obj in ET.parse(filename).getroot().iter("object"):
+    # findall, not iter: only top-level <object> elements count as GT
+    # (recursive descent would double-count nested variants)
+    for obj in ET.parse(filename).findall("object"):
         pose = obj.find("pose")
         box = obj.find("bndbox")
         out.append({

@@ -4,9 +4,10 @@ The bbox trainer draws a new input size every 10 iters
 (ref `yolox/exp/yolox_base.py:166-185`), so the jitted train step sees
 (2*multiscale_range + 1) distinct image shapes, each a separate XLA
 program.  Measured cold (tools/measure_compile_cost.py, BASELINE.md):
-~10 minutes for 5 buckets over the axon tunnel, vs ~0.05 s warm — the
-first epoch of a fresh run stalls minutes at a time whenever the draw
-lands on an uncompiled bucket.
+~40-110 s per bucket over the axon tunnel, vs ~10 s for a fresh
+dispatch against a warm persistent cache — the first epoch of a fresh
+run stalls minutes at a time whenever the draw lands on an uncompiled
+bucket.
 
 Mitigation: compile every bucket ahead-of-time on a daemon thread while
 epoch 0 trains.  ``jit.lower(...).compile()`` takes abstract
@@ -45,36 +46,47 @@ def prewarm_step_buckets(
     label_shape: Tuple[int, ...],
     skip: Sequence[Tuple[int, int]] = (),
     log: Optional[Callable[[str], None]] = None,
+    stop: Optional[threading.Event] = None,
+    done: Optional[set] = None,
 ) -> int:
     """AOT-compile ``step_fn`` for each image size in ``sizes``.
 
     ``state`` may be concrete or abstract; only shapes/dtypes are read.
-    Returns the number of buckets compiled (skips failures — a prewarm
-    miss only costs the latency it was hiding).
+    ``stop`` (checked between buckets) aborts early; successfully
+    compiled sizes are added to ``done`` as they land.  Returns the
+    number of buckets compiled (failures are skipped — a prewarm miss
+    only costs the latency it was hiding).
     """
     state_abs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
         state,
     )
-    rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    # aval from a REAL key so a non-default PRNG impl (e.g. rbg's
+    # uint32[4]) still produces the dispatch path's exact signature
+    rng0 = jax.random.PRNGKey(0)
+    rng_abs = jax.ShapeDtypeStruct(jnp.shape(rng0), rng0.dtype)
     lbl_abs = jax.ShapeDtypeStruct(tuple(label_shape), jnp.float32)
-    done = 0
-    skip = set(skip)
+    n = 0
+    skip = {tuple(s) for s in skip}
     for size in sizes:
         if tuple(size) in skip:
             continue
+        if stop is not None and stop.is_set():
+            break
         img_abs = jax.ShapeDtypeStruct(
             (batch_size, size[0], size[1], 3), jnp.float32
         )
         try:
             step_fn.lower(state_abs, img_abs, lbl_abs, rng_abs).compile()
-            done += 1
+            n += 1
+            if done is not None:
+                done.add(tuple(size))
             if log:
-                log(f"prewarm: bucket {size[0]}px compiled ({done} done)")
+                log(f"prewarm: bucket {size[0]}px compiled ({n} done)")
         except Exception as e:  # noqa: BLE001 — prewarm is best-effort
             if log:
                 log(f"prewarm: bucket {size[0]}px failed: {e!r}")
-    return done
+    return n
 
 
 def start_prewarm_thread(
@@ -86,12 +98,22 @@ def start_prewarm_thread(
     skip=(),
     log=None,
 ) -> threading.Thread:
+    """Run the prewarm on a daemon thread.
+
+    The returned thread carries ``stop_event`` (set it to abort between
+    buckets) and ``done_sizes`` (grows as buckets land — lets the caller
+    tell a cache hit from an unprewarmed compile).
+    """
+    stop = threading.Event()
+    done: set = set()
     t = threading.Thread(
         target=prewarm_step_buckets,
         args=(step_fn, state, sizes, batch_size, label_shape),
-        kwargs={"skip": skip, "log": log},
+        kwargs={"skip": skip, "log": log, "stop": stop, "done": done},
         name="eop-bucket-prewarm",
         daemon=True,
     )
+    t.stop_event = stop
+    t.done_sizes = done
     t.start()
     return t

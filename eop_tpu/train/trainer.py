@@ -165,6 +165,8 @@ class Trainer:
         self._epoch_iter = None
         self._mosaic_switched = False
         self._prewarm_started = False
+        self._prewarm_thread = None
+        self._seen_buckets = {tuple(self.input_size)}
 
         self.tblogger = None
         if self.is_main:
@@ -246,6 +248,16 @@ class Trainer:
                     jax.random.PRNGKey(self.progress_in_iter),
                 )
             iter_time = time.time() - iter_start
+            if tuple(tsize) not in self._seen_buckets:
+                # first dispatch of this shape bucket: surfaces whether
+                # the background prewarm actually paid off (a cache hit
+                # is seconds; an unprewarmed XLA compile is minutes)
+                self._seen_buckets.add(tuple(tsize))
+                pw = getattr(self._prewarm_thread, "done_sizes", set())
+                logger.info(
+                    f"bucket {tsize[0]}px first step: {iter_time:.1f}s "
+                    f"(prewarmed={tuple(tsize) in pw})"
+                )
             host_metrics = jax.device_get(metrics)  # one tunnel round trip
             self.meter.update(
                 iter_time=iter_time,
@@ -287,17 +299,16 @@ class Trainer:
             return
         from .prewarm import multiscale_buckets, start_prewarm_thread
 
-        sizes = [
-            s for s in multiscale_buckets(self.exp)
-            if s != tuple(self.input_size)
-        ]
-        if not sizes:
+        sizes = multiscale_buckets(self.exp)
+        base = tuple(self.input_size)
+        if not [s for s in sizes if s != base]:
             return
         nproc = max(jax.process_count(), 1)
         global_b = imgs.shape[0] * nproc
         lbl_shape = (global_b,) + tuple(labels.shape[1:])
+        n_todo = len([s for s in sizes if s != base])
         logger.info(
-            f"prewarm: compiling {len(sizes)} multiscale buckets in the "
+            f"prewarm: compiling {n_todo} multiscale buckets in the "
             "background"
         )
         # abstract the state NOW: its buffers are about to be donated by
@@ -308,7 +319,7 @@ class Trainer:
         )
         self._prewarm_thread = start_prewarm_thread(
             step_fn, state_abs, sizes, global_b, lbl_shape,
-            log=logger.info,
+            skip=[base], log=logger.info,
         )
 
     def _log_iter(self, it, tsize):
@@ -350,6 +361,16 @@ class Trainer:
             f"Training of experiment is done and the best AP is "
             f"{self.best_ap * 100:.2f}"
         )
+        t = getattr(self, "_prewarm_thread", None)
+        if t is not None and t.is_alive():
+            # a short run can end mid-prewarm: stop between buckets and
+            # give the in-flight native compile a bounded grace period
+            # rather than tearing down the interpreter under it
+            t.stop_event.set()
+            t.join(timeout=30)
+            if t.is_alive():
+                logger.info("prewarm thread still compiling; exiting "
+                            "without it (daemon)")
         if hasattr(self, "train_loader"):
             self.train_loader.shutdown()
 

@@ -284,6 +284,9 @@ def test_prewarm_buckets_compile_and_run():
     """Background AOT prewarm (train/prewarm.py): the lowered signature
     must match the trainer's dispatch path exactly, so a prewarmed bucket
     executes without a fresh trace when later called with real arrays."""
+    import os
+    import tempfile
+
     from eop_tpu.exp import Exp
     from eop_tpu.losses import YoloxLossConfig
     from eop_tpu.models import YOLOX
@@ -324,9 +327,31 @@ def test_prewarm_buckets_compile_and_run():
     state_abs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), state
     )
-    t = start_prewarm_thread(step, state_abs, [(96, 96)], 2, (2, 5, 5))
-    t.join(timeout=300)
-    assert not t.is_alive()
+    # route the persistent cache to a fresh dir so we can PROVE the AOT
+    # compile lands there (the whole mechanism prewarm relies on)
+    import jax as _jax
+
+    from jax._src import compilation_cache as _cc
+
+    cache_dir = tempfile.mkdtemp(prefix="eop_prewarm_cache_")
+    _jax.config.update("jax_compilation_cache_dir", cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _cc.reset_cache()  # dir changes are ignored once the cache is live
+    try:
+        t = start_prewarm_thread(step, state_abs, [(96, 96)], 2, (2, 5, 5))
+        t.join(timeout=300)
+        assert not t.is_alive()
+        assert t.done_sizes == {(96, 96)}
+        assert os.listdir(cache_dir), (
+            "prewarm compiled nothing into the persistent cache -- "
+            "later dispatch would cold-compile despite the prewarm"
+        )
+    finally:
+        _jax.config.update("jax_compilation_cache_dir",
+                           "/tmp/eop_tpu_jax_cache")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+        _cc.reset_cache()
 
     # a prewarmed bucket must now actually run with concrete arrays
     imgs = jnp.zeros((2, 96, 96, 3), jnp.float32)
