@@ -221,12 +221,16 @@ class Exp24P(BaseExp):
         )
 
 
-    def get_serving_fn(self, model, variables, src_hw):
+    def get_serving_fn(self, model, variables, src_hw, quant_scales=None,
+                       quant_min_channels=64):
         """Fully-fused serving step: on-device letterbox (uint8 in) +
         forward + decode + NMS in ONE jitted program — zero host-side
         preprocessing (the north-star deployment path).
 
         ``src_hw``: static (H, W) of the raw input batch.
+        ``quant_scales``: activation scales from
+        ``quantize_for_inference`` — switches eligible convs to the
+        MXU's int8 path (pass the deploy variables it returned too).
         """
         import jax
 
@@ -236,7 +240,9 @@ class Exp24P(BaseExp):
         def serve(raw_uint8):
             imgs = raw_uint8.astype(jax.numpy.float32)
             imgs, _ = letterbox_batch_device(imgs, src_hw, self.test_size)
-            head_outs, _ = model.apply(variables, imgs, False)
+            head_outs, _ = self._forward(
+                model, variables, imgs, quant_scales, quant_min_channels
+            )
             from ..eval.postprocess import postprocess_24p
             from ..models import inference_outputs
 
@@ -270,9 +276,11 @@ class Exp24P(BaseExp):
 
         return jax.jit(self._infer_body(model, variables))
 
-    def _infer_body(self, model, variables):
+    def _infer_body(self, model, variables, quant_scales=None,
+                    quant_min_channels=64):
         """Unjitted forward + decode + polygon-NMS body (shared by the
-        jitted single-device handle and the sharded multi-chip one)."""
+        jitted single-device handle, the sharded multi-chip one, and the
+        int8 PTQ handle when ``quant_scales`` is given)."""
         import jax
 
         def infer(imgs):
@@ -281,7 +289,9 @@ class Exp24P(BaseExp):
 
             # accept uint8 inputs: transfer 4x less and cast on device
             imgs = imgs.astype(jax.numpy.float32)
-            head_outs, _ = model.apply(variables, imgs, False)
+            head_outs, _ = self._forward(
+                model, variables, imgs, quant_scales, quant_min_channels
+            )
             decoded = inference_outputs(head_outs, reg_dim=26,
                                         out_dtype=jax.numpy.float32)
             return postprocess_24p(

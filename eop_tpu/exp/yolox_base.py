@@ -297,9 +297,11 @@ class Exp(BaseExp):
 
         return jax.jit(self._infer_body(model, variables))
 
-    def _infer_body(self, model, variables):
+    def _infer_body(self, model, variables, quant_scales=None,
+                    quant_min_channels=64):
         """Unjitted forward + decode + NMS body (shared by the jitted
-        single-device handle and the sharded multi-chip one)."""
+        single-device handle, the sharded multi-chip one, and the int8
+        PTQ handle when ``quant_scales`` is given)."""
         import jax
 
         def infer(imgs):
@@ -308,7 +310,9 @@ class Exp(BaseExp):
 
             # accept uint8 inputs: transfer 4x less and cast on device
             imgs = imgs.astype(jax.numpy.float32)
-            head_outs, _ = model.apply(variables, imgs, False)
+            head_outs, _ = self._forward(
+                model, variables, imgs, quant_scales, quant_min_channels
+            )
             decoded = inference_outputs(head_outs,
                                         out_dtype=jax.numpy.float32)
             return postprocess_bbox(
@@ -352,12 +356,16 @@ class Exp(BaseExp):
 
         return decode_only
 
-    def get_serving_fn(self, model, variables, src_hw):
+    def get_serving_fn(self, model, variables, src_hw, quant_scales=None,
+                       quant_min_channels=64):
         """Fully-fused serving step: on-device letterbox (uint8 in) +
         forward + decode + NMS in ONE jitted program — zero host-side
         preprocessing (the north-star deployment path).
 
         ``src_hw``: static (H, W) of the raw input batch.
+        ``quant_scales``: activation scales from
+        ``quantize_for_inference`` — switches eligible convs to the
+        MXU's int8 path (pass the deploy variables it returned too).
         """
         import jax
 
@@ -367,7 +375,9 @@ class Exp(BaseExp):
         def serve(raw_uint8):
             imgs = raw_uint8.astype(jax.numpy.float32)
             imgs, _ = letterbox_batch_device(imgs, src_hw, self.test_size)
-            head_outs, _ = model.apply(variables, imgs, False)
+            head_outs, _ = self._forward(
+                model, variables, imgs, quant_scales, quant_min_channels
+            )
             from ..eval.postprocess import postprocess_bbox
             from ..models import inference_outputs
 
@@ -383,15 +393,27 @@ class Exp(BaseExp):
         return serve
 
     def eval(self, model, variables, evaluator, is_distributed=False,
-             time_split=False):
+             time_split=False, quant_scales=None, quant_min_channels=64):
         """``time_split`` enables the forward-vs-NMS timing estimate: it
         compiles a second (decode-only) program and runs a few extra
         forwards, so it stays off in training loops and on for the
-        diagnostic CLI (tools/eval.py)."""
+        diagnostic CLI (tools/eval.py).
+
+        ``quant_scales`` (from ``quantize_for_inference``, pass its
+        deploy variables too) evaluates the int8 PTQ path instead; the
+        timing split is skipped there — the decode-only probe runs fp
+        and would misattribute the difference to NMS.
+        """
+        import jax
+
+        infer_fn = jax.jit(self._infer_body(
+            model, variables, quant_scales, quant_min_channels
+        ))
         return evaluator.evaluate(
-            self.get_infer_fn(model, variables), is_distributed,
+            infer_fn, is_distributed,
             decode_fn=(
-                self.get_decode_fn(model, variables) if time_split else None
+                self.get_decode_fn(model, variables)
+                if time_split and not quant_scales else None
             ),
         )
 

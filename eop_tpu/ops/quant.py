@@ -1,0 +1,215 @@
+"""Post-training int8 quantization for the inference/serving paths.
+
+TPU-native rationale: the v5e MXU runs int8 at twice the bf16 rate
+(394 vs 197 T-ops/s peak), and XLA lowers integer convolutions with
+``preferred_element_type=int32`` straight onto it.  The reference has no
+quantized path at all (its fastest eval mode is fp16 autocast,
+`yolox/evaluators/coco_evaluator.py:139-142`), so this is capability the
+rebuild adds beyond parity, in the spirit of "beat the reference on its
+own hardware bar".
+
+Scheme — standard symmetric PTQ, re-derived for the flax/XLA stack:
+
+* **weights**: per-output-channel symmetric int8, quantized inside the
+  traced program from the BN-folded fp32 kernels.  Under ``jit`` the
+  weights are arguments, so quantization is a cheap elementwise op on
+  the (small) kernels; under ``jax.export`` serving freeze they are
+  constants and the rounding constant-folds away entirely.
+* **activations**: per-tensor symmetric int8.  Scales are calibrated by
+  running representative batches with an *observer interceptor* that
+  ``sow``s each eligible conv input's absmax into a mutable collection —
+  no model-code changes, works for every `nn.Conv` in every family.
+* **accumulation**: int32 on the MXU; the dequant multiply
+  ``(s_x * s_w[c])`` is an elementwise tail XLA fuses into the conv,
+  exactly where the BN multiply used to sit.
+* **selection**: only non-grouped convs with ``min(C_in, C_out) >=
+  min_channels`` run quantized.  The narrow early stages are
+  emitter-bound rather than MXU-bound on TPU (measured, BASELINE.md
+  round 3) *and* are the most accuracy-sensitive — quantizing them
+  costs accuracy for zero speed.  Depthwise convs barely touch the MXU
+  and are skipped likewise.
+
+The mechanism is `flax.linen.intercept_methods`: a context installed
+around ``model.apply`` that replaces eligible ``nn.Conv.__call__``s with
+the quantized computation.  Model definitions stay untouched — any
+backbone/head in the zoo (and any future one built from `nn.Conv`)
+quantizes for free.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Any, Callable, Dict, Iterable, Mapping, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax import lax
+
+# Collection name for calibration observers (kept out of 'intermediates'
+# so user sow() calls are never mixed with ours).
+QUANT_STATS = "quant_stats"
+
+_INT8_MAX = 127.0
+
+
+def _module_path(mod: nn.Module) -> str:
+    """Stable string key for a bound module: 'backbone/dark3/.../conv'."""
+    return "/".join(str(p) for p in mod.path)
+
+
+def _eligible(mod: nn.Module, x: jax.Array, min_channels: int) -> bool:
+    if not isinstance(mod, nn.Conv):
+        return False
+    if mod.feature_group_count != 1:  # depthwise: no MXU win
+        return False
+    c_in = x.shape[-1]
+    c_out = mod.features
+    return min(int(c_in), int(c_out)) >= min_channels
+
+
+def observe_interceptor(min_channels: int = 64):
+    """Interceptor that records each eligible conv input's absmax.
+
+    Run ``model.apply(..., mutable=[QUANT_STATS])`` under
+    ``nn.intercept_methods(observe_interceptor(...))``; the returned
+    mutable collection maps module paths to scalar absmax values
+    (running max within one apply via the sow reduce_fn).
+    """
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (
+            context.method_name == "__call__"
+            and args
+            and isinstance(args[0], jax.Array)
+            and _eligible(mod, args[0], min_channels)
+        ):
+            absmax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+            mod.sow(
+                QUANT_STATS,
+                "absmax",
+                absmax,
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def _flatten_stats(tree: Mapping[str, Any]) -> Dict[str, float]:
+    """{'a/b/conv': absmax} from the sown QUANT_STATS collection."""
+    out: Dict[str, float] = {}
+
+    def walk(node, path):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                if k == "absmax":
+                    out["/".join(path)] = float(np.asarray(v))
+                else:
+                    walk(v, path + (k,))
+
+    walk(tree, ())
+    return out
+
+
+def calibrate_act_scales(
+    observe_fn: Callable[[Any], Mapping[str, Any]],
+    batches: Iterable[Any],
+) -> Dict[str, float]:
+    """Run calibration batches, return {conv_path: activation_scale}.
+
+    ``observe_fn(batch)`` must run the model forward the same way
+    inference will (same dtypes, same preprocessing) under
+    ``observe_interceptor`` with ``mutable=[QUANT_STATS]`` and return
+    the sown collection — see ``BaseExp.quantize_for_inference`` for
+    the canonical wiring.  Scales are ``absmax / 127`` with the max
+    taken across all batches.
+    """
+    running: Dict[str, float] = {}
+    for batch in batches:
+        stats = observe_fn(batch)
+        stats = stats.get(QUANT_STATS, stats)
+        for path, absmax in _flatten_stats(stats).items():
+            running[path] = max(running.get(path, 0.0), absmax)
+    return {
+        path: absmax / _INT8_MAX
+        for path, absmax in running.items()
+        if absmax > 0.0
+    }
+
+
+def _quantize_kernel(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8 (HWIO kernel)."""
+    kernel = kernel.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))  # [O]
+    s_w = jnp.where(absmax > 0.0, absmax / _INT8_MAX, 1.0)
+    q = jnp.clip(jnp.round(kernel / s_w), -_INT8_MAX, _INT8_MAX)
+    return q.astype(jnp.int8), s_w
+
+
+def quant_interceptor(
+    act_scales: Mapping[str, float],
+    min_channels: int = 64,
+):
+    """Interceptor replacing eligible `nn.Conv` calls with int8 compute.
+
+    Convs without a calibrated scale (or below the channel threshold)
+    fall through to the normal fp path, so a partially-calibrated model
+    still runs correctly.
+    """
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if not (
+            context.method_name == "__call__"
+            and args
+            and isinstance(args[0], jax.Array)
+            and _eligible(mod, args[0], min_channels)
+        ):
+            return next_fun(*args, **kwargs)
+        s_x = act_scales.get(_module_path(mod))
+        if s_x is None or s_x <= 0.0:
+            return next_fun(*args, **kwargs)
+
+        x = args[0]
+        params = mod.variables["params"]
+        kernel = params["kernel"]  # HWIO, fp32
+        q_w, s_w = _quantize_kernel(kernel)
+        q_x = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s_x), -_INT8_MAX, _INT8_MAX
+        ).astype(jnp.int8)
+
+        strides = mod.strides
+        if isinstance(strides, int):
+            strides = (strides, strides)
+        dn = lax.conv_dimension_numbers(
+            q_x.shape, q_w.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        acc = lax.conv_general_dilated(
+            q_x,
+            q_w,
+            window_strides=tuple(strides),
+            padding=mod.padding,
+            dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        out_dtype = mod.dtype or x.dtype
+        y = acc.astype(jnp.float32) * (s_x * s_w)
+        if mod.use_bias:
+            y = y + params["bias"].astype(jnp.float32)
+        return y.astype(out_dtype)
+
+    return interceptor
+
+
+@contextlib.contextmanager
+def quantized(act_scales: Mapping[str, float], min_channels: int = 64):
+    """``with quantized(scales): model.apply(...)`` — int8 conv compute.
+
+    Must be entered *inside* the traced function (interception happens
+    at trace time)."""
+    with nn.intercept_methods(quant_interceptor(act_scales, min_channels)):
+        yield

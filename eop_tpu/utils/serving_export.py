@@ -28,6 +28,8 @@ def export_serving(
     batch_size: int,
     src_hw: Tuple[int, int],
     platforms: Optional[Sequence[str]] = None,
+    quant_scales=None,
+    quant_min_channels: int = 64,
 ):
     """Freeze ``exp.get_serving_fn`` into a ``jax.export.Exported``.
 
@@ -36,8 +38,16 @@ def export_serving(
     ``uint8[batch, H, W, 3]`` array and returns ``{"rows", "valid"}``
     (the ``Detections`` fields as a plain dict, so deserialization needs
     no custom pytree types).
+
+    ``quant_scales``: int8-PTQ activation scales from
+    ``exp.quantize_for_inference`` (pass its deploy variables too) —
+    the artifact then carries int8 weights as constants and runs
+    eligible convs on the MXU int8 path.
     """
-    serve = exp.get_serving_fn(model, variables, src_hw)
+    serve = exp.get_serving_fn(
+        model, variables, src_hw,
+        quant_scales=quant_scales, quant_min_channels=quant_min_channels,
+    )
 
     @jax.jit
     def serve_portable(raw_uint8):

@@ -33,6 +33,11 @@ def make_parser():
     parser.add_argument("--testdev", action="store_true")
     parser.add_argument("--legacy", action="store_true")
     parser.add_argument("--per-class-ap", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 PTQ eval: calibrate activation scales "
+                             "on the first val batches, run eligible "
+                             "convs on the MXU int8 path")
+    parser.add_argument("--quant-min-channels", type=int, default=64)
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return parser
 
@@ -78,9 +83,22 @@ def main():
         legacy=args.legacy,
     )
     evaluator.per_class_AP = args.per_class_ap
+    quant_scales = None
+    if args.int8:
+        calib = [
+            np.asarray(batch[0], np.float32)
+            for batch, _ in zip(evaluator.dataloader, range(2))
+        ]
+        variables, quant_scales = exp.quantize_for_inference(
+            model, variables, calib, args.quant_min_channels
+        )
+        print(f"int8 PTQ: {len(quant_scales)} convs quantized "
+              f"(min_channels={args.quant_min_channels})")
     # diagnostic CLI: enable the forward-vs-NMS timing split
     ap50_95, ap50, summary = exp.eval(
-        model, variables, evaluator, time_split=True
+        model, variables, evaluator, time_split=True,
+        quant_scales=quant_scales,
+        quant_min_channels=args.quant_min_channels,
     )
     print(summary)
     print(f"AP50:95 = {ap50_95:.4f}  AP50 = {ap50:.4f}")

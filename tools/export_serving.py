@@ -39,9 +39,52 @@ def make_parser():
                    help="comma list, e.g. tpu,cpu (default: current backend)")
     p.add_argument("--smoke", action="store_true",
                    help="deserialize + run the artifact once on zeros")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ: bake quantized weights, run eligible "
+                        "convs on the MXU int8 path (calibrate on --calib)")
+    p.add_argument("--calib", type=str, default=None,
+                   help="directory of images for int8 calibration "
+                        "(serving-preprocessed; uniform noise if omitted "
+                        "— smoke use only)")
+    p.add_argument("--quant-min-channels", type=int, default=64)
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[],
                    help="exp overrides: key value ...")
     return p
+
+
+def _calib_batch(calib_dir, src_hw, exp, n_max=32):
+    """One letterboxed calibration batch, preprocessed exactly as the
+    serving program will see its inputs."""
+    import glob
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eop_tpu.data.transforms import letterbox_batch_device
+
+    raws = []
+    if calib_dir:
+        paths = sorted(
+            p for p in glob.glob(os.path.join(calib_dir, "*"))
+            if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+        )[:n_max]
+        for path in paths:
+            img = cv2.imread(path)
+            if img is not None:
+                raws.append(cv2.resize(img, (src_hw[1], src_hw[0])))
+    if not raws:
+        print("WARNING: no --calib images — calibrating on uniform noise; "
+              "accuracy of the exported int8 program is unvalidated")
+        raw = np.random.RandomState(0).randint(
+            0, 255, (8, src_hw[0], src_hw[1], 3), np.uint8
+        )
+    else:
+        raw = np.stack(raws)
+    letterboxed, _ = letterbox_batch_device(
+        jnp.asarray(raw, jnp.float32), src_hw, exp.test_size
+    )
+    return letterboxed
 
 
 def main():
@@ -77,8 +120,18 @@ def main():
         if args.src_hw else tuple(exp.test_size)
     )
     platforms = args.platforms.split(",") if args.platforms else None
+    quant_scales = None
+    if args.int8:
+        calib = _calib_batch(args.calib, src_hw, exp)
+        variables, quant_scales = exp.quantize_for_inference(
+            model, variables, [calib], args.quant_min_channels
+        )
+        print(f"int8 PTQ: {len(quant_scales)} convs quantized "
+              f"(min_channels={args.quant_min_channels})")
     exported = export_serving(
-        exp, model, variables, args.batch, src_hw, platforms=platforms
+        exp, model, variables, args.batch, src_hw, platforms=platforms,
+        quant_scales=quant_scales,
+        quant_min_channels=args.quant_min_channels,
     )
     size = save_serving_artifact(exported, args.out)
     print(
