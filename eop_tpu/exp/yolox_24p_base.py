@@ -308,9 +308,15 @@ class Exp24P(BaseExp):
 
         return infer
 
-    def get_sharded_infer_fn(self, model, variables, mesh):
+    def get_sharded_infer_fn(self, model, variables, mesh,
+                             quant_scales=None, quant_min_channels=64):
         """Multi-chip serving/eval: batch sharded on the data axis,
-        detections sharded out, params replicated."""
+        detections sharded out, params replicated.  ``quant_scales``
+        runs the int8 PTQ path on every chip."""
         from ..parallel.mesh import shard_inference
 
-        return shard_inference(self._infer_body(model, variables), mesh)
+        return shard_inference(
+            self._infer_body(model, variables, quant_scales,
+                             quant_min_channels),
+            mesh,
+        )

@@ -328,14 +328,20 @@ class Exp(BaseExp):
 
         return infer
 
-    def get_sharded_infer_fn(self, model, variables, mesh):
+    def get_sharded_infer_fn(self, model, variables, mesh,
+                             quant_scales=None, quant_min_channels=64):
         """Multi-chip serving/eval: the same inference program jitted over
         a device mesh — batch sharded on the data axis, detections sharded
         out, params replicated (capability the reference lacks: its
-        demo/eval paths are single-GPU)."""
+        demo/eval paths are single-GPU).  ``quant_scales`` runs the int8
+        PTQ path on every chip."""
         from ..parallel.mesh import shard_inference
 
-        return shard_inference(self._infer_body(model, variables), mesh)
+        return shard_inference(
+            self._infer_body(model, variables, quant_scales,
+                             quant_min_channels),
+            mesh,
+        )
 
     def get_decode_fn(self, model, variables):
         """Jitted forward + decode WITHOUT NMS — used by the evaluator to

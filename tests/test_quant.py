@@ -198,3 +198,33 @@ def test_quant_serving_export_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(out["rows"]), np.asarray(live.rows)
     )
+
+
+def test_sharded_quant_inference_matches_single_device():
+    """int8 + multi-chip compose: the mesh-sharded quantized program
+    must reproduce the single-device quantized detections."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from eop_tpu.parallel import make_mesh, shard_batch
+
+    exp, model, variables = _tiny(Exp24P())
+    exp.test_conf = 1e-4  # random-init scores: keep a non-degenerate scene
+    imgs = (np.random.RandomState(3).rand(8, 64, 64, 3) * 255).astype(
+        np.float32
+    )
+    qvars, scales = exp.quantize_for_inference(
+        model, variables, [imgs], min_channels=16
+    )
+    single = jax.jit(exp._infer_body(model, qvars, scales, 16))
+    ref = jax.device_get(single(imgs))
+
+    mesh = make_mesh(8)
+    sharded = exp.get_sharded_infer_fn(
+        model, qvars, mesh, quant_scales=scales, quant_min_channels=16
+    )
+    with mesh:
+        out = sharded(shard_batch(mesh, imgs))
+    assert len(out.rows.sharding.device_set) == 8
+    got = jax.device_get(out)
+    np.testing.assert_allclose(ref.rows, got.rows, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(ref.valid, got.valid)
