@@ -147,6 +147,52 @@ def main():
         "mfu": round(img_l * flops_l / V5E_BF16_PEAK, 3),
     }
 
+    # --- extra: YOLOX-L int8 PTQ (per-channel weights, calibrated
+    # activations, MXU int8 path — capability beyond the reference;
+    # accuracy cost measured in BASELINE.md: AP50 unchanged) ---
+    from flax import linen as nn
+
+    from eop_tpu.ops import quant
+    from eop_tpu.utils.model_utils import fuse_conv_bn
+
+    fused_p, fused_s = fuse_conv_bn(
+        vars_l["params"], vars_l["batch_stats"]
+    )
+    vars_lq = {"params": fused_p, "batch_stats": fused_s}
+
+    @jax.jit
+    def observe_l(v, imgs):
+        with nn.intercept_methods(quant.observe_interceptor(64)):
+            _, stats = model_l.apply(
+                v, imgs.astype(jnp.bfloat16), False,
+                mutable=[quant.QUANT_STATS],
+            )
+        return stats
+
+    scales_l = quant.calibrate_act_scales(
+        lambda b: jax.device_get(observe_l(vars_lq, b)), [xl[:8]]
+    )
+
+    @jax.jit
+    def infer_l_int8(v, imgs):
+        with quant.quantized(scales_l, 64):
+            head_outs, _ = model_l.apply(
+                v, imgs.astype(jnp.bfloat16), False
+            )
+        decoded = inference_outputs(head_outs, reg_dim=4,
+                                    out_dtype=jnp.float32)
+        det = postprocess_bbox(
+            decoded, num_classes=80, conf_thre=0.01, nms_thre=0.65,
+        )
+        return jnp.sum(det.rows)
+
+    float(infer_l_int8(vars_lq, xl))
+    t_lq = _drain_time(lambda: infer_l_int8(vars_lq, xl), float, 10, rtt)
+    extra["inference_yoloxl_640px_int8"] = {
+        "value": round(BL / t_lq, 1), "unit": "img/s/chip",
+        "speedup_vs_bf16": round(t_l / t_lq, 3),
+    }
+
     # --- extra: 24p train step, B=32 ---
     from eop_tpu.utils.synth import synthetic_24p_batch
 
