@@ -59,10 +59,29 @@ def _module_path(mod: nn.Module) -> str:
     return "/".join(str(p) for p in mod.path)
 
 
+def _nontrivial(dilation) -> bool:
+    if dilation is None:
+        return False
+    if isinstance(dilation, int):
+        return dilation != 1
+    return any(d != 1 for d in dilation)
+
+
 def _eligible(mod: nn.Module, x: jax.Array, min_channels: int) -> bool:
     if not isinstance(mod, nn.Conv):
         return False
     if mod.feature_group_count != 1:  # depthwise: no MXU win
+        return False
+    # the quantized replacement reproduces plain strided convs; dilated
+    # or circular/causal-padded convs fall through to the fp path
+    # rather than being silently mis-computed
+    if _nontrivial(mod.kernel_dilation) or _nontrivial(mod.input_dilation):
+        return False
+    if isinstance(mod.padding, str) and mod.padding.upper() not in (
+        "SAME", "VALID"
+    ):
+        return False
+    if x.ndim != 4 or len(mod.kernel_size) != 2:  # NHWC 2-D convs only
         return False
     c_in = x.shape[-1]
     c_out = mod.features
