@@ -15,6 +15,7 @@ from typing import Optional
 
 
 from .base_exp import BaseExp
+from .yolox_base import resolve_packed_early
 
 
 class Exp24P(BaseExp):
@@ -64,6 +65,13 @@ class Exp24P(BaseExp):
         self.compute_dtype = "float32"
         # gradient checkpointing of the conv trunk (memory for ~15% time)
         self.remat = False
+        # space-to-depth packed layout for the sub-128-channel early
+        # backbone (ops/packed.py): False | True | "train" | "auto".
+        # "auto" resolves to "train" — packed for training steps (1.33x
+        # the 24p-s step on v5e), fine for inference (measured loss at
+        # inference batch sizes) — when width <= 0.75 and not depthwise.
+        # Parameters and checkpoints are layout-independent.
+        self.packed_early = "auto"
         # "exact" = stationarity-checked NMS fixpoint in eval/infer handles
         # (greedy-exact for any suppression-chain depth); serving keeps the
         # fixed budget
@@ -88,6 +96,9 @@ class Exp24P(BaseExp):
                 reg_dim=26,
                 dtype=dtype,
                 remat=self.remat,
+                packed_early=resolve_packed_early(
+                    getattr(self, "packed_early", False), self.width,
+                ),
             )
         return self.model
 

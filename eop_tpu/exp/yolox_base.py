@@ -18,6 +18,19 @@ import numpy as np
 from .base_exp import BaseExp
 
 
+def resolve_packed_early(flag, width: float, depthwise: bool = False):
+    """Resolve the ``packed_early`` exp setting to a model flag.
+
+    ``"auto"`` → ``"train"`` (packed layout for training calls only) when
+    the early backbone is narrow enough to benefit on the MXU (width ≤
+    0.75 keeps dark2 below 128 channels) and the blocks are plain convs;
+    otherwise off.  Any other value passes through.
+    """
+    if flag == "auto":
+        return "train" if (width <= 0.75 and not depthwise) else False
+    return flag
+
+
 class Exp(BaseExp):
     # Hyperparameter defaults, grouped as in the reference's Exp
     # (`yolox/exp/yolox_base.py:19-71`).  Values land as instance
@@ -60,6 +73,14 @@ class Exp(BaseExp):
         # chain depth); "budget" keeps the fixed scaled budget (static
         # schedule — what the latency-critical serving fn always uses)
         nms_mode="exact",
+        # space-to-depth packed layout for the sub-128-channel early
+        # backbone (ops/packed.py) — an exact re-expression that keeps the
+        # MXU's 128 contraction lanes full.  "auto" resolves to "train"
+        # (packed for training steps, fine for inference — measured the
+        # win/loss split on v5e, BASELINE.md round 3) when the model is
+        # narrow enough to benefit (width <= 0.75, not depthwise), else
+        # off.  Parameters and checkpoints are layout-independent.
+        packed_early="auto",
     )
 
     def __init__(self):
@@ -91,6 +112,10 @@ class Exp(BaseExp):
                 depthwise=self.depthwise,
                 dtype=dtype,
                 remat=self.remat,
+                packed_early=resolve_packed_early(
+                    getattr(self, "packed_early", False),
+                    self.width, self.depthwise,
+                ),
             )
         return self.model
 

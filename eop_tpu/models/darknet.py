@@ -113,6 +113,13 @@ class CSPDarknet(nn.Module):
     act: str = "silu"
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    # False | True | "train": run the sub-128-channel early stages in the
+    # space-to-depth packed layout (ops/packed.py).  "train" applies it to
+    # training calls only — measured on v5e the packed layout wins the
+    # fwd+bwd step (2.3x on the early segment) but loses the forward-only
+    # inference at large batch, and parameters are layout-independent so
+    # the same weights can train packed and serve fine.
+    packed_early: bool | str = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -122,7 +129,37 @@ class CSPDarknet(nn.Module):
         kw = dict(act=self.act, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         csp_kw = dict(depthwise=self.depthwise, **kw)
 
+        use_packed = (
+            self.packed_early is True
+            or (self.packed_early == "train" and train)
+        )
         outputs = {}
+        if use_packed and not self.depthwise:
+            # TPU small-channel path: run the sub-128-channel stages in the
+            # space-to-depth packed layout (ops/packed.py) so both forward
+            # and backward use XLA's wide-channel conv emitters.  Measured
+            # 2.3x on the early-segment fwd+bwd @640 B=32 bf16 (BASELINE.md
+            # round 3); exact same parameters/outputs as the fine path.
+            from eop_tpu.ops.packed import unpack_nhwc
+
+            x = Focus(base_ch, ksize=3, name="stem", out_layout="packed",
+                      **kw)(x, train)
+            if "stem" in self.out_features:
+                outputs["stem"] = unpack_nhwc(x)
+            # stay packed only while channels are below the 128 MXU lanes
+            d2_packed = base_ch * 2 < 128
+            d2l = "packed" if d2_packed else "fine"
+            x = Conv(base_ch * 2, 3, 2, name="dark2_conv",
+                     in_layout="packed", out_layout=d2l, **kw)(x, train)
+            x = CSPLayer(base_ch * 2, n=base_depth, name="dark2_csp",
+                         layout=d2l, **csp_kw)(x, train)
+            if "dark2" in self.out_features:
+                outputs["dark2"] = unpack_nhwc(x) if d2_packed else x
+            x = Conv(base_ch * 4, 3, 2, name="dark3_conv",
+                     in_layout=d2l, out_layout="fine", **kw)(x, train)
+            return self._tail(x, outputs, base_ch, base_depth, csp_kw, kw,
+                              train)
+
         x = Focus(base_ch, ksize=3, name="stem", **kw)(x, train)
         outputs["stem"] = x
 
@@ -131,6 +168,12 @@ class CSPDarknet(nn.Module):
         outputs["dark2"] = x
 
         x = Conv(base_ch * 4, 3, 2, name="dark3_conv", **kw)(x, train)
+        return self._tail(x, outputs, base_ch, base_depth, csp_kw, kw, train)
+
+    def _tail(self, x, outputs, base_ch, base_depth, csp_kw, kw, train):
+        """dark3_csp onward — shared by the fine and packed-early paths
+        (both arrive here in fine layout with >=128 channels)."""
+        Conv = DWConv if self.depthwise else BaseConv
         x = CSPLayer(base_ch * 4, n=base_depth * 3, name="dark3_csp", **csp_kw)(x, train)
         outputs["dark3"] = x
 

@@ -36,11 +36,11 @@ def upsample2x_nearest(x):
 
 
 def _build_backbone(backbone_type, depth, width, depthwise, act, dtype,
-                    bn_axis_name):
+                    bn_axis_name, packed_early=False):
     if backbone_type == "darknet":
         return CSPDarknet(depth, width, depthwise=depthwise, act=act,
                           dtype=dtype, bn_axis_name=bn_axis_name,
-                          name="backbone")
+                          packed_early=packed_early, name="backbone")
     if backbone_type == "vgg":
         return vgg19(dtype=dtype, bn_axis_name=bn_axis_name, name="backbone")
     if backbone_type == "resnet":
@@ -71,12 +71,14 @@ class YOLOPAFPN(nn.Module):
     act: str = "silu"
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    packed_early: bool | str = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         backbone = _build_backbone(
             self.backbone_type, self.depth, self.width, self.depthwise,
             self.act, self.dtype, self.bn_axis_name,
+            packed_early=self.packed_early,
         )
         feats = backbone(x, train)
         x2, x1, x0 = [feats[f] for f in self.in_features]

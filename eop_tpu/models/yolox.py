@@ -48,6 +48,11 @@ class YOLOX(nn.Module):
     # for activation memory (jax.checkpoint / nn.remat) — enables larger
     # per-chip batches at 640px.
     remat: bool = False
+    # Run the sub-128-channel early backbone stages in the space-to-depth
+    # packed layout (ops/packed.py) — TPU MXU-lane optimization, exact.
+    # False | True | "train" (packed layout for training calls only; the
+    # parameters are layout-independent).
+    packed_early: bool | str = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -65,6 +70,7 @@ class YOLOX(nn.Module):
             act=self.act,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            packed_early=self.packed_early,
             name="backbone",
         )(x, train)
         head_outs = YOLOXHead(

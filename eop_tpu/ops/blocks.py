@@ -81,10 +81,47 @@ def batch_norm(
     )(x)
 
 
+def batch_norm_packed(
+    x,
+    train: bool = False,
+    name: str = "bn",
+    dtype: Dtype = jnp.float32,
+    axis_name: str | None = None,
+    momentum: float = BN_MOMENTUM,
+    epsilon: float = BN_EPS,
+):
+    """BatchNorm over a packed-layout tensor (``ops/packed.py``): params and
+    running stats stay per *fine* channel (shape [C], same paths/shapes as
+    :func:`batch_norm`, so checkpoints are layout-independent), while the
+    reduction additionally spans the 4 spatial phases.  Channel-major
+    packing makes the ``[..., 4C] <-> [..., C, 4]`` reshape a bitcast, so
+    this costs nothing over fine BN.
+    """
+    b, h, w, c4 = x.shape
+    x = x.reshape(b, h, w, c4 // 4, 4)
+    x = nn.BatchNorm(
+        use_running_average=not train,
+        momentum=momentum,
+        epsilon=epsilon,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        axis_name=axis_name if train else None,
+        axis=-2,
+        name=name,
+    )(x)
+    return x.reshape(b, h, w, c4)
+
+
 class BaseConv(nn.Module):
     """Conv2d -> BatchNorm -> activation (reference `BaseConv`, :29-54).
 
     NHWC, explicit torch-"same" padding ``(k-1)//2``, no conv bias.
+
+    TPU: ``in_layout``/``out_layout`` select the space-to-depth *packed*
+    layout re-expression (``ops/packed.py``) used by the small-channel
+    early backbone stages — parameters keep their fine shapes and paths
+    (``conv/kernel`` [k,k,Ci,Co], ``bn/*`` [Co]) in every layout, so
+    checkpoints, torch import/export, EMA and weight decay are unaffected.
     """
 
     out_channels: int
@@ -95,23 +132,48 @@ class BaseConv(nn.Module):
     act: str = "silu"
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    in_layout: str = "fine"
+    out_layout: str = "fine"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = (self.ksize - 1) // 2
-        x = nn.Conv(
-            features=self.out_channels,
-            kernel_size=(self.ksize, self.ksize),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
-        x = batch_norm(x, train, dtype=self.dtype, axis_name=self.bn_axis_name)
-        return get_activation(self.act)(x)
+        if self.in_layout == "fine" and self.out_layout == "fine":
+            x = nn.Conv(
+                features=self.out_channels,
+                kernel_size=(self.ksize, self.ksize),
+                strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
+            x = batch_norm(x, train, dtype=self.dtype,
+                           axis_name=self.bn_axis_name)
+            return get_activation(self.act)(x)
+
+        if self.groups != 1 or self.use_bias:
+            raise NotImplementedError(
+                "packed layouts support plain bias-free convs only")
+        from .packed import packed_conv  # local import avoids a cycle
+
+        mode = {("fine", "packed"): "fp",
+                ("packed", "packed"): "pp",
+                ("packed", "fine"): "pf"}[(self.in_layout, self.out_layout)]
+        ci = x.shape[-1] // (4 if self.in_layout == "packed" else 1)
+        w = _FocusKernel(
+            (self.ksize, self.ksize, ci, self.out_channels), name="conv")()
+        y = packed_conv(x.astype(self.dtype), w.astype(self.dtype),
+                        self.stride, pad, mode=mode)
+        if self.out_layout == "packed":
+            y = batch_norm_packed(y, train, dtype=self.dtype,
+                                  axis_name=self.bn_axis_name)
+        else:
+            y = batch_norm(y, train, dtype=self.dtype,
+                           axis_name=self.bn_axis_name)
+        return get_activation(self.act)(y)
 
 
 class DWConv(nn.Module):
@@ -148,20 +210,23 @@ class Bottleneck(nn.Module):
     act: str = "silu"
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    layout: str = "fine"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.out_channels * self.expansion)
+        lkw = dict(in_layout=self.layout, out_layout=self.layout)
         y = BaseConv(
             hidden, 1, 1, act=self.act, dtype=self.dtype,
-            bn_axis_name=self.bn_axis_name, name="conv1",
+            bn_axis_name=self.bn_axis_name, name="conv1", **lkw,
         )(x, train)
         Conv = DWConv if self.depthwise else BaseConv
         y = Conv(
             self.out_channels, 3, 1, act=self.act, dtype=self.dtype,
             bn_axis_name=self.bn_axis_name, name="conv2",
+            **({} if self.depthwise else lkw),
         )(y, train)
-        if self.shortcut and x.shape[-1] == self.out_channels:
+        if self.shortcut and y.shape[-1] == x.shape[-1]:
             y = y + x
         return y
 
@@ -287,19 +352,24 @@ class CSPLayer(nn.Module):
     act: str = "silu"
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    layout: str = "fine"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.out_channels * self.expansion)
-        kw = dict(act=self.act, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(act=self.act, dtype=self.dtype,
+                  bn_axis_name=self.bn_axis_name,
+                  in_layout=self.layout, out_layout=self.layout)
         x1 = BaseConv(hidden, 1, 1, name="conv1", **kw)(x, train)
         x2 = BaseConv(hidden, 1, 1, name="conv2", **kw)(x, train)
         for i in range(self.n):
             x1 = Bottleneck(
                 hidden, self.shortcut, 1.0, self.depthwise,
                 act=self.act, dtype=self.dtype,
-                bn_axis_name=self.bn_axis_name, name=f"m_{i}",
+                bn_axis_name=self.bn_axis_name, layout=self.layout,
+                name=f"m_{i}",
             )(x1, train)
+        # channel-major packing keeps fine channel-concat == packed concat
         x = jnp.concatenate([x1, x2], axis=-1)
         return BaseConv(self.out_channels, 1, 1, name="conv3", **kw)(x, train)
 
@@ -333,6 +403,20 @@ class _FocusKernel(nn.Module):
         )
 
 
+@functools.lru_cache(maxsize=None)
+def _focus_fold_const(k: int):
+    """[k, k, 4, 2k, 2k] 0/1 scatter tensor: folds s2d-group kernel taps
+    into their 2k x 2k stride-2 kernel positions."""
+    import numpy as _np
+
+    t = _np.zeros((k, k, 4, 2 * k, 2 * k), _np.float32)
+    for g, (di, dj) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        for a in range(k):
+            for b in range(k):
+                t[a, b, g, 2 * a + di, 2 * b + dj] = 1.0
+    return t
+
+
 class _FoldedFocusConv(nn.Module):
     """BaseConv-compatible (param paths ``conv/kernel`` + ``bn/*``) conv
     that folds the preceding 2x2 space-to-depth into a 2k×2k stride-2
@@ -343,6 +427,7 @@ class _FoldedFocusConv(nn.Module):
     act: str
     dtype: Dtype
     bn_axis_name: str | None
+    out_layout: str = "fine"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -353,12 +438,23 @@ class _FoldedFocusConv(nn.Module):
         )()
         # s2d group g=(di, dj) channel c sits at original pixel offset
         # (2u+di, 2v+dj); group order matches space_to_depth_2x2's concat
-        # (tl, bl, tr, br).
+        # (tl, bl, tr, br).  Built as a tensordot against a constant 0/1
+        # scatter tensor — strided .at[].set scatters measurably slow the
+        # step when run in-graph every call.
         w3r = w3.reshape(k, k, 4, cin, self.out_channels)
-        w6 = jnp.zeros((2 * k, 2 * k, cin, self.out_channels), w3.dtype)
-        for g, (di, dj) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
-            w6 = w6.at[di::2, dj::2].set(w3r[:, :, g])
+        w6 = jnp.tensordot(jnp.asarray(_focus_fold_const(k), w3.dtype),
+                           w3r, axes=((0, 1, 2), (0, 1, 2)))
         pad = 2 * ((k - 1) // 2)  # (k-1)//2 on the s2d grid = 2x in pixels
+        if self.out_layout == "packed":
+            # fold the output packing into the conv as well: the raw image
+            # is read directly and the stem lands in packed layout.
+            from .packed import packed_conv
+
+            y = packed_conv(x.astype(self.dtype), w6.astype(self.dtype),
+                            2, pad, mode="fp")
+            y = batch_norm_packed(y, train, dtype=self.dtype,
+                                  axis_name=self.bn_axis_name)
+            return get_activation(self.act)(y)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             w6.astype(self.dtype),
@@ -389,10 +485,14 @@ class Focus(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     fold_s2d: bool = True
+    out_layout: str = "fine"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if not self.fold_s2d or self.stride != 1:
+            if self.out_layout != "fine":
+                raise NotImplementedError(
+                    "packed Focus requires the folded path")
             x = space_to_depth_2x2(x)
             return BaseConv(
                 self.out_channels, self.ksize, self.stride, act=self.act,
@@ -402,5 +502,5 @@ class Focus(nn.Module):
 
         return _FoldedFocusConv(
             self.out_channels, self.ksize, self.act, self.dtype,
-            self.bn_axis_name, name="conv",
+            self.bn_axis_name, out_layout=self.out_layout, name="conv",
         )(x, train)
