@@ -112,6 +112,30 @@ def main():
     t_s = _drain_time(lambda: infer_s(vars_s, x), float, 20, rtt)
     img_s = B / t_s
 
+    # --- extra: 24p-s serving-batch inference (B=32, packed layout — the
+    # Exp infer builders pick packed for per-device batches <= 64, where
+    # it measured 1.18-1.99x over fine; same parameters) ---
+    BS = 32
+    model_sp = YOLOX(depth=0.33, width=0.50, num_classes=80, reg_dim=26,
+                     dtype=jnp.bfloat16, packed_early=True)
+
+    @jax.jit
+    def infer_s32(v, imgs):
+        head_outs, _ = model_sp.apply(v, imgs.astype(jnp.bfloat16), False)
+        decoded = inference_outputs(head_outs, reg_dim=26,
+                                    out_dtype=jnp.float32)
+        det = postprocess_24p(
+            decoded, num_classes=80, conf_thre=0.01, nms_thre=0.3,
+        )
+        return jnp.sum(det.rows)
+
+    float(infer_s32(vars_s, x[:BS]))
+    t_s32 = _drain_time(lambda: infer_s32(vars_s, x[:BS]), float, 20, rtt)
+    extra["inference_24p_s_640px_b32_packed"] = {
+        "value": round(BS / t_s32, 1), "unit": "img/s/chip",
+        "latency_ms": round(t_s32 * 1e3, 2),
+    }
+
     # --- extra: YOLOX-L e2e inference (flagship), B=64 ---
     BL = 64
     model_l = YOLOX(depth=1.0, width=1.0, num_classes=80, reg_dim=4,

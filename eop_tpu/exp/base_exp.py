@@ -46,14 +46,39 @@ class BaseExp(metaclass=ABCMeta):
     def eval(self, model_variables, evaluator):
         raise NotImplementedError
 
-    @staticmethod
-    def _forward(model, variables, imgs, quant_scales=None,
-                 quant_min_channels=64):
-        """``model.apply`` with optional int8-quantized conv compute.
+    def _infer_model(self, model, batch, quant_scales=None,
+                     batch_divisor=1):
+        """Pick the early-backbone layout for an inference program.
+
+        The packed layout (``ops/packed.py``) wins inference below the MXU
+        saturation batch and loses above it (measured on v5e @640, 24p-s
+        e2e: 1.18–1.99x for B ≤ 64, 0.90x at B ≥ 128 — BASELINE.md round
+        3), so programs are built packed when the *per-device* batch is at
+        most ``packed_infer_max_batch``.  Parameters are layout-
+        independent, so this is purely a program-build decision —
+        ``jax.jit`` retraces per input shape and each shape gets the right
+        layout.  int8 PTQ keeps the fine layout: calibration observed the
+        fine ``nn.Conv`` modules and the quant interceptor only sees
+        those.
+        """
+        per_device = batch // max(1, batch_divisor)
+        if (not quant_scales
+                and getattr(model, "packed_early", False)
+                and per_device <= getattr(self, "packed_infer_max_batch",
+                                          64)):
+            return model.clone(packed_early=True)
+        return model
+
+    def _forward(self, model, variables, imgs, quant_scales=None,
+                 quant_min_channels=64, batch_divisor=1):
+        """``model.apply`` with optional int8-quantized conv compute and
+        batch-aware early-backbone layout (:meth:`_infer_model`).
 
         Shared by every inference/serving body in both families so the
         quantized path is one code path, not a copy per entry point.
         """
+        model = self._infer_model(model, imgs.shape[0], quant_scales,
+                                  batch_divisor)
         if quant_scales:
             from ..ops.quant import quantized
 

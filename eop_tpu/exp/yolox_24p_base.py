@@ -72,6 +72,9 @@ class Exp24P(BaseExp):
         # inference batch sizes) — when width <= 0.75 and not depthwise.
         # Parameters and checkpoints are layout-independent.
         self.packed_early = "auto"
+        # inference programs pick the packed layout when the per-device
+        # batch is at most this (v5e measured crossover, BASELINE.md r3)
+        self.packed_infer_max_batch = 64
         # "exact" = stationarity-checked NMS fixpoint in eval/infer handles
         # (greedy-exact for any suppression-chain depth); serving keeps the
         # fixed budget
@@ -288,10 +291,12 @@ class Exp24P(BaseExp):
         return jax.jit(self._infer_body(model, variables))
 
     def _infer_body(self, model, variables, quant_scales=None,
-                    quant_min_channels=64):
+                    quant_min_channels=64, batch_divisor=1):
         """Unjitted forward + decode + polygon-NMS body (shared by the
         jitted single-device handle, the sharded multi-chip one, and the
-        int8 PTQ handle when ``quant_scales`` is given)."""
+        int8 PTQ handle when ``quant_scales`` is given).  ``batch_divisor``
+        is the device count when the body is traced with global (sharded)
+        shapes — the early-backbone layout decision is per-device."""
         import jax
 
         def infer(imgs):
@@ -301,7 +306,8 @@ class Exp24P(BaseExp):
             # accept uint8 inputs: transfer 4x less and cast on device
             imgs = imgs.astype(jax.numpy.float32)
             head_outs, _ = self._forward(
-                model, variables, imgs, quant_scales, quant_min_channels
+                model, variables, imgs, quant_scales, quant_min_channels,
+                batch_divisor=batch_divisor,
             )
             decoded = inference_outputs(head_outs, reg_dim=26,
                                         out_dtype=jax.numpy.float32)
@@ -328,6 +334,7 @@ class Exp24P(BaseExp):
 
         return shard_inference(
             self._infer_body(model, variables, quant_scales,
-                             quant_min_channels),
+                             quant_min_channels,
+                             batch_divisor=mesh.size),
             mesh,
         )

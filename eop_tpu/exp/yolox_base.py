@@ -81,6 +81,11 @@ class Exp(BaseExp):
         # narrow enough to benefit (width <= 0.75, not depthwise), else
         # off.  Parameters and checkpoints are layout-independent.
         packed_early="auto",
+        # inference programs additionally pick the packed layout when the
+        # per-device batch is at most this (measured crossover on v5e
+        # @640: packed wins 1.18-1.99x at B<=64, loses ~0.90x at B>=128 —
+        # BASELINE.md round 3); 0 disables packed inference entirely
+        packed_infer_max_batch=64,
     )
 
     def __init__(self):
@@ -323,10 +328,12 @@ class Exp(BaseExp):
         return jax.jit(self._infer_body(model, variables))
 
     def _infer_body(self, model, variables, quant_scales=None,
-                    quant_min_channels=64):
+                    quant_min_channels=64, batch_divisor=1):
         """Unjitted forward + decode + NMS body (shared by the jitted
         single-device handle, the sharded multi-chip one, and the int8
-        PTQ handle when ``quant_scales`` is given)."""
+        PTQ handle when ``quant_scales`` is given).  ``batch_divisor`` is
+        the device count when the body is traced with global (sharded)
+        shapes — the early-backbone layout decision is per-device."""
         import jax
 
         def infer(imgs):
@@ -336,7 +343,8 @@ class Exp(BaseExp):
             # accept uint8 inputs: transfer 4x less and cast on device
             imgs = imgs.astype(jax.numpy.float32)
             head_outs, _ = self._forward(
-                model, variables, imgs, quant_scales, quant_min_channels
+                model, variables, imgs, quant_scales, quant_min_channels,
+                batch_divisor=batch_divisor,
             )
             decoded = inference_outputs(head_outs,
                                         out_dtype=jax.numpy.float32)
@@ -364,7 +372,8 @@ class Exp(BaseExp):
 
         return shard_inference(
             self._infer_body(model, variables, quant_scales,
-                             quant_min_channels),
+                             quant_min_channels,
+                             batch_divisor=mesh.size),
             mesh,
         )
 
@@ -380,7 +389,9 @@ class Exp(BaseExp):
             from ..models import inference_outputs
 
             imgs = imgs.astype(jax.numpy.float32)
-            head_outs, _ = model.apply(variables, imgs, False)
+            # same layout decision as the timed infer program — otherwise
+            # the forward-vs-NMS split misattributes the layout delta
+            head_outs, _ = self._forward(model, variables, imgs)
             decoded = inference_outputs(head_outs,
                                         out_dtype=jax.numpy.float32)
             return decoded.sum()

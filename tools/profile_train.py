@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--hlo-cost", action="store_true",
                     help="also print estimated device cycles by source "
                          "line from the compiled HLO (no trace needed)")
+    ap.add_argument("--packed", default="train",
+                    choices=["train", "true", "false"],
+                    help="packed_early mode for the early backbone "
+                         "(default: train — the trainers' default)")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +61,8 @@ def main():
     model = YOLOX(
         depth=args.depth, width=args.width, num_classes=80, reg_dim=26,
         dtype=jnp.bfloat16,
+        packed_early={"train": "train", "true": True,
+                      "false": False}[args.packed],
     )
     tx = optax.sgd(0.01, momentum=0.9, nesterov=True)
     rng = jax.random.PRNGKey(0)
