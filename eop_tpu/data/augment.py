@@ -64,10 +64,10 @@ def augment_hsv(img, rng: np.random.Generator, hgain=5, sgain=30, vgain=30):
         np.clip(ramp + deltas[1], 0, 255).astype(np.uint8),
         np.clip(ramp + deltas[2], 0, 255).astype(np.uint8),
     )
-    h, s, v = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
-    jittered = cv2.merge(
-        (cv2.LUT(h, tables[0]), cv2.LUT(s, tables[1]), cv2.LUT(v, tables[2]))
-    )
+    # one 3-channel LUT call (cv2 applies column c to channel c) — same
+    # bytes as per-plane split/LUT/merge, ~1 ms less per 640² image
+    lut3 = np.stack(tables, axis=-1).reshape(1, 256, 3)
+    jittered = cv2.LUT(cv2.cvtColor(img, cv2.COLOR_BGR2HSV), lut3)
     cv2.cvtColor(jittered, cv2.COLOR_HSV2BGR, dst=img)
 
 
@@ -159,9 +159,14 @@ def mirror(image, boxes, prob, rng: np.random.Generator):
 def preproc(img, input_size) -> Tuple[np.ndarray, float]:
     """Letterbox: scale to fit, paste top-left on a 114-gray canvas, float32
     HWC.  Bit-identical to the reference letterbox (minus its CHW swap)."""
+    r = min(input_size[0] / img.shape[0], input_size[1] / img.shape[1])
+    if r == 1.0 and img.shape[:2] == tuple(input_size[:2]):
+        # already letterbox-sized (every post-mosaic sample): identity
+        # resize + full-canvas paste would copy the image twice for the
+        # same bytes
+        return np.ascontiguousarray(img, dtype=np.float32), r
     channels = (3,) if img.ndim == 3 else ()
     canvas = np.full((*input_size[:2], *channels), _PAD_VALUE, dtype=np.uint8)
-    r = min(input_size[0] / img.shape[0], input_size[1] / img.shape[1])
     scaled = cv2.resize(
         img,
         (int(img.shape[1] * r), int(img.shape[0] * r)),

@@ -165,11 +165,21 @@ class MosaicDetection(Dataset):
 
         # random crop of the frame at the mosaic's size
         th, tw = origin_img.shape[:2]
-        stage = np.zeros((max(fh, th), max(fw, tw), 3), dtype=np.uint8)
-        stage[:fh, :fw] = frame
-        oy = int(rng.integers(0, stage.shape[0] - th)) if stage.shape[0] > th else 0
-        ox = int(rng.integers(0, stage.shape[1] - tw)) if stage.shape[1] > tw else 0
-        patch = stage[oy: oy + th, ox: ox + tw]
+        if fh >= th and fw >= tw:
+            # frame covers the crop: slice it directly (identical bytes and
+            # RNG draw order as the staged path — oy/ox are drawn under the
+            # same fh>th / fw>tw conditions)
+            oy = int(rng.integers(0, fh - th)) if fh > th else 0
+            ox = int(rng.integers(0, fw - tw)) if fw > tw else 0
+            patch = frame[oy: oy + th, ox: ox + tw]
+        else:
+            stage = np.zeros((max(fh, th), max(fw, tw), 3), dtype=np.uint8)
+            stage[:fh, :fw] = frame
+            oy = (int(rng.integers(0, stage.shape[0] - th))
+                  if stage.shape[0] > th else 0)
+            ox = (int(rng.integers(0, stage.shape[1] - tw))
+                  if stage.shape[1] > tw else 0)
+            patch = stage[oy: oy + th, ox: ox + tw]
 
         # donor boxes through the same scale / flip / crop chain
         boxes = donor_labels[:, :4] * ratio
@@ -179,9 +189,13 @@ class MosaicDetection(Dataset):
         boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]] - ox, 0, tw)
         boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]] - oy, 0, th)
 
-        blended = (
-            0.5 * origin_img.astype(np.float32) + 0.5 * patch.astype(np.float32)
-        ).astype(np.uint8)
+        # floor((a + b) / 2) in uint16 — same bytes as the float32
+        # 0.5-blend + truncation (exact: (a+b)/2 has at most a .5 fraction,
+        # representable in fp32, and uint8 astype truncates), at a quarter
+        # of the memory traffic
+        blended = ((origin_img.astype(np.uint16) + patch) >> 1).astype(
+            np.uint8
+        )
         rows = np.concatenate([boxes, donor_labels[:, 4:5]], axis=1)
         return blended, np.concatenate([origin_labels, rows], axis=0)
 

@@ -305,3 +305,40 @@ def test_merge_none_default_coercion():
     assert exp.seed == 3                 # literal int, not "3"
     assert exp.data_dir == "/some/path"  # plain string preserved
     assert exp.random_size == (10, 20)
+
+
+def test_fast_path_byte_exactness():
+    """The host-pipeline fast paths produce the same bytes as the naive
+    formulations they replaced (mixup uint16 blend, 3-channel HSV LUT,
+    identity letterbox resize)."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        a = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        b = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        naive = (0.5 * a.astype(np.float32)
+                 + 0.5 * b.astype(np.float32)).astype(np.uint8)
+        fast = ((a.astype(np.uint16) + b) >> 1).astype(np.uint8)
+        assert (naive == fast).all()
+
+        img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+        ramp = np.arange(256, dtype=np.int16)
+        tables = (((ramp + 3) % 180).astype(np.uint8),
+                  np.clip(ramp - 17, 0, 255).astype(np.uint8),
+                  np.clip(ramp + 11, 0, 255).astype(np.uint8))
+        h, s, v = cv2.split(hsv)
+        naive = cv2.merge((cv2.LUT(h, tables[0]), cv2.LUT(s, tables[1]),
+                           cv2.LUT(v, tables[2])))
+        fast = cv2.LUT(hsv, np.stack(tables, -1).reshape(1, 256, 3))
+        assert (naive == fast).all()
+
+        assert (cv2.resize(img, (48, 48),
+                           interpolation=cv2.INTER_LINEAR) == img).all()
+
+    # preproc identity fast path: same output as a forced resize+paste
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    out, r = preproc(img, (64, 64))
+    assert r == 1.0
+    np.testing.assert_array_equal(out, img.astype(np.float32))
