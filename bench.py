@@ -97,17 +97,20 @@ def main():
     x = jax.random.uniform(rng, (B, 640, 640, 3), jnp.float32) * 255.0
     vars_s = init_model(model_s, rng, x[:1])
 
-    @jax.jit
-    def infer_s(v, imgs):
-        head_outs, _ = model_s.apply(v, imgs.astype(jnp.bfloat16), False)
-        decoded = inference_outputs(head_outs, reg_dim=26,
-                                    out_dtype=jnp.float32)
-        det = postprocess_24p(
-            decoded, num_classes=80,
-            conf_thre=0.01, nms_thre=0.3,
-        )
-        return jnp.sum(det.rows)  # scalar handle for the sync fetch
+    def make_infer_24p(model):
+        @jax.jit
+        def infer(v, imgs):
+            head_outs, _ = model.apply(v, imgs.astype(jnp.bfloat16), False)
+            decoded = inference_outputs(head_outs, reg_dim=26,
+                                        out_dtype=jnp.float32)
+            det = postprocess_24p(
+                decoded, num_classes=80, conf_thre=0.01, nms_thre=0.3,
+            )
+            return jnp.sum(det.rows)  # scalar handle for the sync fetch
 
+        return infer
+
+    infer_s = make_infer_24p(model_s)
     float(infer_s(vars_s, x))  # compile + warm
     t_s = _drain_time(lambda: infer_s(vars_s, x), float, 20, rtt)
     img_s = B / t_s
@@ -116,19 +119,10 @@ def main():
     # Exp infer builders pick packed for per-device batches <= 64, where
     # it measured 1.18-1.99x over fine; same parameters) ---
     BS = 32
-    model_sp = YOLOX(depth=0.33, width=0.50, num_classes=80, reg_dim=26,
-                     dtype=jnp.bfloat16, packed_early=True)
-
-    @jax.jit
-    def infer_s32(v, imgs):
-        head_outs, _ = model_sp.apply(v, imgs.astype(jnp.bfloat16), False)
-        decoded = inference_outputs(head_outs, reg_dim=26,
-                                    out_dtype=jnp.float32)
-        det = postprocess_24p(
-            decoded, num_classes=80, conf_thre=0.01, nms_thre=0.3,
-        )
-        return jnp.sum(det.rows)
-
+    infer_s32 = make_infer_24p(
+        YOLOX(depth=0.33, width=0.50, num_classes=80, reg_dim=26,
+              dtype=jnp.bfloat16, packed_early=True)
+    )
     float(infer_s32(vars_s, x[:BS]))
     t_s32 = _drain_time(lambda: infer_s32(vars_s, x[:BS]), float, 20, rtt)
     extra["inference_24p_s_640px_b32_packed"] = {

@@ -61,11 +61,15 @@ class BaseExp(metaclass=ABCMeta):
         fine ``nn.Conv`` modules and the quant interceptor only sees
         those.
         """
+        packed = getattr(model, "packed_early", False)
+        if quant_scales:
+            # the quant interceptor only sees nn.Conv modules and the
+            # calibration observed the fine layout — a packed_early=True
+            # model would silently run its early segment unquantized
+            return model.clone(packed_early=False) if packed else model
         per_device = batch // max(1, batch_divisor)
-        if (not quant_scales
-                and getattr(model, "packed_early", False)
-                and per_device <= getattr(self, "packed_infer_max_batch",
-                                          64)):
+        if packed and per_device <= getattr(self, "packed_infer_max_batch",
+                                            64):
             return model.clone(packed_early=True)
         return model
 
@@ -103,6 +107,12 @@ class BaseExp(metaclass=ABCMeta):
 
         from ..ops import quant
         from ..utils.model_utils import fuse_conv_bn
+
+        # calibration must observe the fine nn.Conv modules — the packed
+        # early segment bypasses nn.Conv entirely and would silently
+        # escape both observation and quantization
+        if getattr(model, "packed_early", False):
+            model = model.clone(packed_early=False)
 
         if "batch_stats" in variables:
             fused_p, fused_s = fuse_conv_bn(

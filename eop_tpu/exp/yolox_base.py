@@ -24,8 +24,17 @@ def resolve_packed_early(flag, width: float, depthwise: bool = False):
     ``"auto"`` → ``"train"`` (packed layout for training calls only) when
     the early backbone is narrow enough to benefit on the MXU (width ≤
     0.75 keeps dark2 below 128 channels) and the blocks are plain convs;
-    otherwise off.  Any other value passes through.
+    otherwise off.  String booleans are normalized (CLI ``merge`` cannot
+    coerce them because the default is the string ``"auto"`` —
+    ``packed_early False`` on the command line arrives as ``"False"``,
+    which is truthy); any other value passes through.
     """
+    if isinstance(flag, str):
+        low = flag.lower()
+        if low in ("false", "0", "off", "none"):
+            flag = False
+        elif low in ("true", "1", "on"):
+            flag = True
     if flag == "auto":
         return "train" if (width <= 0.75 and not depthwise) else False
     return flag

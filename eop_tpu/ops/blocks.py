@@ -214,6 +214,10 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.layout != "fine" and self.depthwise:
+            raise NotImplementedError(
+                "packed layout supports plain convs only — a DWConv has "
+                "no layout-aware path and would mix spatial phases")
         hidden = int(self.out_channels * self.expansion)
         lkw = dict(in_layout=self.layout, out_layout=self.layout)
         y = BaseConv(
@@ -356,6 +360,10 @@ class CSPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.layout != "fine" and self.depthwise:
+            raise NotImplementedError(
+                "packed layout supports plain convs only — a DWConv has "
+                "no layout-aware path and would mix spatial phases")
         hidden = int(self.out_channels * self.expansion)
         kw = dict(act=self.act, dtype=self.dtype,
                   bn_axis_name=self.bn_axis_name,

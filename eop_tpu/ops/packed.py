@@ -204,8 +204,13 @@ def packed_conv(x, w, stride: int, pad: int, mode: str = "pp",
     if mode == "pp":
         wp, s2, pl = pack_weights_packed_to_packed(w, stride, pad)
         hf = (fine_hw or (x.shape[1] * 2, x.shape[2] * 2))
-        out_h = _out_size(hf[0], k, stride, pad) // 2
-        out_w = _out_size(hf[1], k, stride, pad) // 2
+        oh, ow = _out_size(hf[0], k, stride, pad), _out_size(hf[1], k,
+                                                             stride, pad)
+        assert oh % 2 == 0 and ow % 2 == 0, (
+            f"packed output needs an even fine conv output, got "
+            f"{(oh, ow)} (mode=pp, fine_hw={hf}, k={k}, s={stride}, "
+            f"p={pad}) — an odd size would silently drop the last row")
+        out_h, out_w = oh // 2, ow // 2
         in_h, in_w = x.shape[1], x.shape[2]
     elif mode == "pf":
         wp, s2, pl = pack_weights_packed_to_fine(w, stride, pad)
@@ -216,8 +221,13 @@ def packed_conv(x, w, stride: int, pad: int, mode: str = "pp",
     elif mode == "fp":
         wp, s2, pl = pack_weights_fine_to_packed(w, stride, pad)
         hf = (fine_hw or (x.shape[1], x.shape[2]))
-        out_h = _out_size(hf[0], k, stride, pad) // 2
-        out_w = _out_size(hf[1], k, stride, pad) // 2
+        oh, ow = _out_size(hf[0], k, stride, pad), _out_size(hf[1], k,
+                                                             stride, pad)
+        assert oh % 2 == 0 and ow % 2 == 0, (
+            f"packed output needs an even fine conv output, got "
+            f"{(oh, ow)} (mode=fp, fine_hw={hf}, k={k}, s={stride}, "
+            f"p={pad}) — an odd size would silently drop the last row")
+        out_h, out_w = oh // 2, ow // 2
         in_h, in_w = x.shape[1], x.shape[2]
     else:
         raise ValueError(mode)

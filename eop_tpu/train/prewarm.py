@@ -38,6 +38,44 @@ def multiscale_buckets(exp) -> list:
     return [(32 * s, 32 * s) for s in range(lo, hi + 1)]
 
 
+class BucketClaims:
+    """Coordination between the prewarm thread and the train loop so the
+    SAME shape bucket is never compiled twice concurrently (measured: a
+    10-iter multiscale draw landing on the bucket the prewarm thread was
+    mid-compiling ran a full duplicate XLA compile — 143 s first step on a
+    busy host vs ~10 s for a persistent-cache hit).
+
+    Whoever claims a size first compiles it; the other side waits on the
+    size's event (set on completion, success or failure) and then
+    dispatches against the now-warm persistent cache.  Distinct sizes
+    still compile fully in parallel.
+    """
+
+    def __init__(self, sizes):
+        self._lock = threading.Lock()
+        self._claimed: set = set()
+        self.events = {tuple(s): threading.Event() for s in sizes}
+
+    def claim(self, size) -> bool:
+        """True if the caller should compile ``size`` itself."""
+        size = tuple(size)
+        with self._lock:
+            if size in self._claimed:
+                return False
+            self._claimed.add(size)
+            if size not in self.events:
+                self.events[size] = threading.Event()
+            return True
+
+    def release(self, size):
+        self.events[tuple(size)].set()
+
+    def wait(self, size, timeout: float = 900.0):
+        ev = self.events.get(tuple(size))
+        if ev is not None:
+            ev.wait(timeout)
+
+
 def prewarm_step_buckets(
     step_fn,
     state,
@@ -48,14 +86,17 @@ def prewarm_step_buckets(
     log: Optional[Callable[[str], None]] = None,
     stop: Optional[threading.Event] = None,
     done: Optional[set] = None,
+    claims: Optional[BucketClaims] = None,
 ) -> int:
     """AOT-compile ``step_fn`` for each image size in ``sizes``.
 
     ``state`` may be concrete or abstract; only shapes/dtypes are read.
     ``stop`` (checked between buckets) aborts early; successfully
-    compiled sizes are added to ``done`` as they land.  Returns the
-    number of buckets compiled (failures are skipped — a prewarm miss
-    only costs the latency it was hiding).
+    compiled sizes are added to ``done`` as they land.  ``claims``
+    (shared with the train loop) prevents compiling a bucket the main
+    thread has already started on.  Returns the number of buckets
+    compiled (failures are skipped — a prewarm miss only costs the
+    latency it was hiding).
     """
     state_abs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
@@ -73,6 +114,8 @@ def prewarm_step_buckets(
             continue
         if stop is not None and stop.is_set():
             break
+        if claims is not None and not claims.claim(size):
+            continue  # the train loop got there first
         img_abs = jax.ShapeDtypeStruct(
             (batch_size, size[0], size[1], 3), jnp.float32
         )
@@ -86,6 +129,9 @@ def prewarm_step_buckets(
         except Exception as e:  # noqa: BLE001 — prewarm is best-effort
             if log:
                 log(f"prewarm: bucket {size[0]}px failed: {e!r}")
+        finally:
+            if claims is not None:
+                claims.release(size)
     return n
 
 
@@ -101,19 +147,24 @@ def start_prewarm_thread(
     """Run the prewarm on a daemon thread.
 
     The returned thread carries ``stop_event`` (set it to abort between
-    buckets) and ``done_sizes`` (grows as buckets land — lets the caller
-    tell a cache hit from an unprewarmed compile).
+    buckets), ``done_sizes`` (grows as buckets land — lets the caller
+    tell a cache hit from an unprewarmed compile) and ``claims`` (a
+    :class:`BucketClaims` the train loop shares to avoid duplicate
+    concurrent compiles of one bucket).
     """
     stop = threading.Event()
     done: set = set()
+    claims = BucketClaims(sizes)
     t = threading.Thread(
         target=prewarm_step_buckets,
         args=(step_fn, state, sizes, batch_size, label_shape),
-        kwargs={"skip": skip, "log": log, "stop": stop, "done": done},
+        kwargs={"skip": skip, "log": log, "stop": stop, "done": done,
+                "claims": claims},
         name="eop-bucket-prewarm",
         daemon=True,
     )
     t.stop_event = stop
     t.done_sizes = done
+    t.claims = claims
     t.start()
     return t

@@ -104,6 +104,33 @@ def test_exp_auto_resolution():
     assert resolve_packed_early(False, 0.5) is False
     assert resolve_packed_early(True, 1.0) is True
     assert resolve_packed_early("train", 1.0) == "train"
+    # CLI `merge` can't coerce these (the default is the string "auto"),
+    # so string booleans arrive verbatim and must normalize here —
+    # "False" is truthy and would otherwise silently invert the intent
+    assert resolve_packed_early("False", 0.5) is False
+    assert resolve_packed_early("false", 0.5) is False
+    assert resolve_packed_early("True", 1.0) is True
+    assert resolve_packed_early("off", 0.5) is False
+
+
+def test_packed_guards():
+    """Unsupported packed combinations raise instead of computing garbage."""
+    import pytest
+
+    from eop_tpu.ops.blocks import Bottleneck, CSPLayer
+    from eop_tpu.ops.packed import pack_nhwc, packed_conv
+
+    x = jnp.zeros((1, 16, 16, 128), jnp.float32)
+    for mod in (Bottleneck(32, depthwise=True, layout="packed"),
+                CSPLayer(32, depthwise=True, layout="packed")):
+        with pytest.raises(NotImplementedError):
+            mod.init(jax.random.PRNGKey(0), x, False)
+
+    # odd fine conv output: must raise, not silently drop the last row
+    w = jnp.zeros((6, 6, 4, 8), jnp.float32)
+    xp = pack_nhwc(jnp.zeros((1, 16, 16, 4), jnp.float32))
+    with pytest.raises(AssertionError):
+        packed_conv(xp, w, 1, 2, mode="pp")  # fine out 15x15
 
 
 def test_gradients_match():

@@ -358,3 +358,64 @@ def test_prewarm_buckets_compile_and_run():
     labels = jnp.zeros((2, 5, 5), jnp.float32)
     state, metrics = step(state, imgs, labels, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_prewarm_bucket_claims():
+    """BucketClaims: whoever claims a size first compiles it; the loser
+    skips (prewarm side) or waits on the completion event (train side) —
+    no duplicate concurrent compile of the same bucket."""
+    import threading
+    import time as _time
+
+    from eop_tpu.train.prewarm import BucketClaims, prewarm_step_buckets
+
+    sizes = [(32, 32), (64, 64)]
+    claims = BucketClaims(sizes)
+
+    # main thread claims 32 first -> prewarm must skip it
+    assert claims.claim((32, 32)) is True
+    claims.release((32, 32))
+
+    compiled = []
+
+    class FakeLowered:
+        def __init__(self, size):
+            self.size = size
+
+        def compile(self):
+            _time.sleep(0.05)
+            compiled.append(self.size)
+
+    class FakeStep:
+        def lower(self, state, img, lbl, rng):
+            return FakeLowered(img.shape[1:3])
+
+    n = prewarm_step_buckets(
+        FakeStep(), {"p": jnp.zeros((1,))}, sizes, batch_size=2,
+        label_shape=(2, 5, 5), claims=claims,
+    )
+    assert n == 1 and compiled == [(64, 64)]
+    # both events set -> any waiter proceeds immediately
+    t0 = _time.time()
+    claims.wait((32, 32))
+    claims.wait((64, 64))
+    assert _time.time() - t0 < 0.5
+
+    # reverse direction: prewarm claims first, main waits for the event
+    claims2 = BucketClaims(sizes)
+    order = []
+
+    def slow_prewarm():
+        assert claims2.claim((32, 32))
+        _time.sleep(0.2)
+        order.append("prewarm-done")
+        claims2.release((32, 32))
+
+    th = threading.Thread(target=slow_prewarm)
+    th.start()
+    _time.sleep(0.05)
+    assert claims2.claim((32, 32)) is False  # main loses the race
+    claims2.wait((32, 32))
+    order.append("main-proceeds")
+    th.join()
+    assert order == ["prewarm-done", "main-proceeds"]
