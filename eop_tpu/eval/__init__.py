@@ -1,7 +1,9 @@
 from .postprocess import (
     Detections,
     postprocess_bbox,
+    postprocess_bbox_heads,
     postprocess_24p,
+    postprocess_24p_heads,
 )
 from .coco_eval import COCOeval, COCOeval_opt
 from .coco_evaluator import (

@@ -17,6 +17,21 @@ TPU-first: the reference returns Python lists of variable-length tensors;
 here every image yields exactly ``max_detections`` rows plus a validity
 mask, so the whole batch post-processes inside one jitted XLA program and
 transfers one fixed-size host array.
+
+Two entry levels per family:
+
+* ``postprocess_{bbox,24p}(decoded, ...)`` — takes the fully decoded
+  [B, A, D] tensor (the reference's data flow: decode everything, then
+  filter).
+* ``postprocess_{bbox,24p}_heads(head_outs, ...)`` — takes the RAW
+  per-scale head maps and decodes **after** candidate selection.  The grid
+  decode is elementwise per anchor, so ``decode(gather(x)) ==
+  gather(decode(x))`` — results are bitwise identical — but the fused
+  order never materializes the full-lattice fp32 decode (a [B, 8400, D]
+  HBM write) and gathers candidate rows in the model's bf16 (half the
+  bytes).  Measured on v5e @B=128 (tools/bench_postprocess.py): the
+  postprocess share drops ~11.4 → ~5 ms/batch.  This is the path the Exp
+  infer/serving builders and bench.py use.
 """
 
 from __future__ import annotations
@@ -99,6 +114,117 @@ def postprocess_bbox(
         return _select_rows(rows, keep, max_detections)
 
     rows, valid = jax.vmap(per_image)(decoded)
+    return Detections(rows=rows, valid=valid)
+
+
+def _decoded_candidates(flat, grids, strides_flat, reg_dim: int,
+                        num_classes: int, k: int):
+    """Score -> top-k -> gather -> decode for ONE image's raw flattened
+    head output ``flat [A, reg_dim+1+C]`` (model dtype).
+
+    Bitwise identical to decoding the full lattice first: scores are
+    computed in fp32 from the same (upcast) logits — sigmoid is monotonic
+    so cls argmax/max commute with it — and the grid decode is elementwise
+    per anchor, so gathering raw rows then decoding equals decoding then
+    gathering.
+    """
+    logits = flat[:, reg_dim:].astype(jnp.float32)
+    obj = jax.nn.sigmoid(logits[:, 0])
+    cls_conf = jax.nn.sigmoid(jnp.max(logits[:, 1:1 + num_classes], axis=1))
+    cls_id = jnp.argmax(logits[:, 1:1 + num_classes], axis=1)
+    top_scores, order = jax.lax.top_k(obj * cls_conf, min(k, flat.shape[0]))
+    cand = flat[order].astype(jnp.float32)  # ONE row gather in model dtype
+    s = strides_flat[order][:, None]
+    xy = (cand[:, :2] + grids[order]) * s
+    # exp clamp matches decode_outputs (models/head.py)
+    sizes = jnp.exp(jnp.clip(cand[:, 2:reg_dim], -30.0, 30.0)) * s
+    return (top_scores, xy, sizes, jnp.take(obj, order),
+            jnp.take(cls_conf, order), jnp.take(cls_id, order))
+
+
+def _flatten_heads(head_outs, strides):
+    from ..models.head import flatten_head_outputs, make_grids_and_strides
+
+    flat = flatten_head_outputs(head_outs)
+    grids, strides_flat = make_grids_and_strides(
+        [o.shape[1:3] for o in head_outs], strides, jnp.float32
+    )
+    return flat, grids, strides_flat
+
+
+def postprocess_bbox_heads(
+    head_outs,                  # raw per-scale NHWC maps from the head
+    num_classes: int,
+    conf_thre: float = 0.7,
+    nms_thre: float = 0.45,
+    class_agnostic: bool = False,
+    max_detections: int = 300,
+    nms_candidates: int = 512,
+    nms_fixpoint_iters: int | str | None = None,
+    strides=(8, 16, 32),
+) -> Detections:
+    """`postprocess_bbox` fused with the grid decode (see module
+    docstring); bitwise-equal results, ~2x cheaper postprocess."""
+    flat, grids, strides_flat = _flatten_heads(head_outs, strides)
+
+    def per_image(fl):
+        top_scores, xy, wh, c_obj, c_cls_conf, c_cls_id = \
+            _decoded_candidates(fl, grids, strides_flat, 4, num_classes,
+                                nms_candidates)
+        boxes = cxcywh2xyxy(jnp.concatenate([xy, wh], axis=-1))
+        keep = nms_on_candidates(
+            boxes, top_scores >= conf_thre, nms_thre,
+            class_ids=None if class_agnostic else c_cls_id,
+            fixpoint_iters=nms_fixpoint_iters,
+        )
+        rows = jnp.concatenate(
+            [boxes, c_obj[:, None], c_cls_conf[:, None],
+             c_cls_id.astype(boxes.dtype)[:, None]],
+            axis=1,
+        )
+        return _select_rows(rows, keep, max_detections)
+
+    rows, valid = jax.vmap(per_image)(flat)
+    return Detections(rows=rows, valid=valid)
+
+
+def postprocess_24p_heads(
+    head_outs,
+    num_classes: int,
+    conf_thre: float = 0.01,
+    nms_thre: float = 0.3,
+    class_agnostic: bool = False,
+    max_detections: int = 300,
+    nms_candidates: int = 512,
+    reference_parity: bool = False,
+    nms_fixpoint_iters: int | str | None = None,
+    strides=(8, 16, 32),
+) -> Detections:
+    """`postprocess_24p` fused with the grid decode (see module
+    docstring); bitwise-equal results, ~2x cheaper postprocess."""
+    flat, grids, strides_flat = _flatten_heads(head_outs, strides)
+
+    def per_image(fl):
+        top_scores, centers, radii, c_obj, c_cls_conf, c_cls_id = \
+            _decoded_candidates(fl, grids, strides_flat, 26, num_classes,
+                                nms_candidates)
+        pts = polygon_points_from_radii(centers, radii, reference_parity)
+        boxes = jnp.concatenate(
+            [jnp.min(pts, axis=1), jnp.max(pts, axis=1)], axis=-1
+        )
+        keep = nms_on_candidates(
+            boxes, top_scores >= conf_thre, nms_thre,
+            class_ids=None if class_agnostic else c_cls_id,
+            fixpoint_iters=nms_fixpoint_iters,
+        )
+        rows = jnp.concatenate(
+            [centers, radii, c_obj[:, None], c_cls_conf[:, None],
+             c_cls_id.astype(centers.dtype)[:, None]],
+            axis=1,
+        )
+        return _select_rows(rows, keep, max_detections)
+
+    rows, valid = jax.vmap(per_image)(flat)
     return Detections(rows=rows, valid=valid)
 
 

@@ -46,6 +46,19 @@ class BaseExp(metaclass=ABCMeta):
     def eval(self, model_variables, evaluator):
         raise NotImplementedError
 
+    def _nms_iters(self):
+        """Map the exp's ``nms_mode`` to a `_suppress` fixpoint argument:
+        ``"exact"`` (default) -> the stationarity-checked adaptive loop
+        (greedy-exact for any chain depth; also measured faster than the
+        old scaled budget, tools/bench_postprocess.py); an int -> that
+        fixed iteration budget; ``"budget"`` -> 64, the old scaled default
+        at the 512-candidate capacity (only wanted for a hard static
+        schedule)."""
+        mode = getattr(self, "nms_mode", "exact")
+        if isinstance(mode, int) and not isinstance(mode, bool):
+            return mode
+        return "exact" if mode == "exact" else 64
+
     def _infer_model(self, model, batch, quant_scales=None,
                      batch_divisor=1):
         """Pick the early-backbone layout for an inference program.

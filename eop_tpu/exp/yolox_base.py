@@ -77,10 +77,11 @@ class Exp(BaseExp):
         compute_dtype="float32",
         # gradient checkpointing of the conv trunk (memory for ~15% time)
         remat=False,
-        # NMS fixpoint mode for eval/infer handles: "exact" iterates the
-        # suppression recurrence to stationarity (greedy-exact for any
-        # chain depth); "budget" keeps the fixed scaled budget (static
-        # schedule — what the latency-critical serving fn always uses)
+        # NMS fixpoint mode for eval/infer/serving handles: "exact"
+        # iterates the suppression recurrence to stationarity (greedy-
+        # exact for any chain depth, and measured FASTER than the fixed
+        # budget — tools/bench_postprocess.py); "budget" or an int pins a
+        # fixed iteration count for a hard static schedule
         nms_mode="exact",
         # space-to-depth packed layout for the sub-128-channel early
         # backbone (ops/packed.py) — an exact re-expression that keeps the
@@ -346,8 +347,10 @@ class Exp(BaseExp):
         import jax
 
         def infer(imgs):
-            from ..eval.postprocess import postprocess_bbox
-            from ..models import inference_outputs
+            # fused postprocess: candidate selection on the raw bf16 head
+            # maps, grid decode only on the candidates (bitwise-equal to
+            # decode-everything-first; ~2x cheaper postprocess on v5e)
+            from ..eval.postprocess import postprocess_bbox_heads
 
             # accept uint8 inputs: transfer 4x less and cast on device
             imgs = imgs.astype(jax.numpy.float32)
@@ -355,17 +358,12 @@ class Exp(BaseExp):
                 model, variables, imgs, quant_scales, quant_min_channels,
                 batch_divisor=batch_divisor,
             )
-            decoded = inference_outputs(head_outs,
-                                        out_dtype=jax.numpy.float32)
-            return postprocess_bbox(
-                decoded,
+            return postprocess_bbox_heads(
+                head_outs,
                 num_classes=self.num_classes,
                 conf_thre=self.test_conf,
                 nms_thre=self.nmsthre,
-                nms_fixpoint_iters=(
-                    "exact" if getattr(self, "nms_mode", "exact") == "exact"
-                    else None
-                ),
+                nms_fixpoint_iters=self._nms_iters(),
             )
 
         return infer
@@ -429,16 +427,14 @@ class Exp(BaseExp):
             head_outs, _ = self._forward(
                 model, variables, imgs, quant_scales, quant_min_channels
             )
-            from ..eval.postprocess import postprocess_bbox
-            from ..models import inference_outputs
+            from ..eval.postprocess import postprocess_bbox_heads
 
-            decoded = inference_outputs(head_outs,
-                                        out_dtype=jax.numpy.float32)
-            return postprocess_bbox(
-                decoded,
+            return postprocess_bbox_heads(
+                head_outs,
                 num_classes=self.num_classes,
                 conf_thre=self.test_conf,
                 nms_thre=self.nmsthre,
+                nms_fixpoint_iters=self._nms_iters(),
             )
 
         return serve

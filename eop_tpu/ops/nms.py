@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from .boxes import bboxes_iou
 
-# Fixpoint iteration budget for the NMS recurrence (see `_suppress`).
+# Reference fixed budget for the NMS recurrence when a static schedule is
+# required (see `_suppress`; the default is the exact adaptive loop).
 FIXPOINT_ITERS = 16
 
 
@@ -47,9 +48,14 @@ def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
     Args:
       iou: [K, K] pairwise IoU of the sorted candidates.
       valid: [K] bool — candidate passes the score threshold.
-      fixpoint_iters: iteration budget (int), None for the scaled default,
-        or ``"exact"`` for a stationarity-checked ``while_loop`` (exact for
-        arbitrary adversarial chains; see below).
+      fixpoint_iters: ``"exact"`` (the default, ``None``) for a
+        stationarity-checked ``while_loop`` — greedy-exact for arbitrary
+        adversarial chains AND measured faster than the old scaled budget
+        (v5e, B=128 K=512: the realized chain depth is well under the
+        64-iteration budget, so the adaptive loop does less work).  An
+        int fixes the iteration budget instead — the only reason to want
+        that is a hard static schedule; budgets below the realized chain
+        depth are not greedy-exact.
     Returns:
       keep: [K] bool mask in sorted order.
     """
@@ -64,15 +70,16 @@ def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
         suppressed = jnp.any(overlap & cur[:, None], axis=0)
         return valid & ~suppressed
 
-    # "exact": iterate until stationary.  F's fixpoint is unique and equals
-    # the greedy solution, so F(keep) == keep certifies exactness — this
-    # mode is greedy-exact for ANY input, including adversarial suppression
-    # chains of depth K (where any fixed budget < K is wrong; pinned by
-    # tests/test_nms_adversarial.py).  Cost is data-adaptive: one [K, K]
-    # reduction per chain-depth level, the same as the budget path on
-    # realistic data.  Used by the evaluators; the serving path keeps the
-    # fixed budget (static schedule).
-    if fixpoint_iters == "exact":
+    # "exact" (default): iterate until stationary.  F's fixpoint is unique
+    # and equals the greedy solution, so F(keep) == keep certifies
+    # exactness — this mode is greedy-exact for ANY input, including
+    # adversarial suppression chains of depth K (where any fixed budget
+    # < K is wrong; pinned by tests/test_nms_adversarial.py).  Cost is
+    # data-adaptive: one [K, K] reduction per chain-depth level — measured
+    # ~2 ms/batch cheaper than the 64-iteration scaled budget at B=128
+    # K=512 on v5e (tools/bench_postprocess.py), because realistic chain
+    # depths stay in the teens.
+    if fixpoint_iters is None or fixpoint_iters == "exact":
         def cond(state):
             _, changed, i = state
             return changed & (i < k)
@@ -87,15 +94,11 @@ def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
         )
         return keep
 
-    # Fixed iteration budget: convergence needs (suppression chain depth)
-    # iterations; measured depth on dense worst-case data (1000 random
-    # boxes/img, 37% survivors) is <16 — identical results at 16 and 64
-    # iterations.  The default budget scales with the candidate count
-    # (k/8, floor FIXPOINT_ITERS) so dense low-threshold configs stay
-    # greedy-exact; adversarial chains deeper than the budget need
-    # ``"exact"`` (k as an int budget is also always exact).
-    if fixpoint_iters is None:
-        fixpoint_iters = max(FIXPOINT_ITERS, k // 8)
+    # Fixed iteration budget (int): convergence needs (suppression chain
+    # depth) iterations; measured depth on dense worst-case data (1000
+    # random boxes/img, 37% survivors) is <16.  A budget below the
+    # realized depth silently yields non-greedy keeps — only use this for
+    # a hard static schedule (k as the budget is always exact).
     iters = min(fixpoint_iters, k)
 
     return jax.lax.fori_loop(0, iters, lambda _, cur: apply_f(cur), valid)
