@@ -1,0 +1,94 @@
+"""Minimal HTTP front end for ``DetectionService`` (stdlib only).
+
+Endpoints:
+
+* ``POST /v1/detect`` — body: an encoded image (JPEG/PNG/BMP, any size).
+  Response: ``{"detections": [...], "image_hw": [H, W], "ms": float}``
+  with coordinates in the posted image's pixel space.
+* ``GET /v1/stats``  — batcher/service counters (occupancy, latency
+  percentiles, queue depth).
+* ``GET /healthz``   — liveness.
+
+Threading model: ``ThreadingHTTPServer`` gives one thread per in-flight
+request; every handler blocks in ``DynamicBatcher.submit`` so concurrent
+requests coalesce into full device batches (that is the point — see
+batcher.py).  Saturation returns 429, decode failures 400, batcher
+errors 500; the device program itself never sees a malformed request.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .batcher import BatcherClosedError, QueueFullError
+
+MAX_BODY_BYTES = 32 * 1024 * 1024
+
+
+def make_http_server(service, host: str = "0.0.0.0", port: int = 8000,
+                     max_body: int = MAX_BODY_BYTES) -> ThreadingHTTPServer:
+    """Build (not start) a ``ThreadingHTTPServer`` serving ``service``.
+    Call ``.serve_forever()`` (or ``.shutdown()`` from another thread)."""
+    import cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        # keep the default request logging out of the hot path
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send_json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._send_json(200, {"status": "ok"})
+            elif self.path == "/v1/stats":
+                self._send_json(200, service.stats())
+            else:
+                self._send_json(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/v1/detect":
+                self._send_json(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if not 0 < length <= max_body:
+                self._send_json(
+                    413 if length > max_body else 400,
+                    {"error": f"body length {length} not in (0, {max_body}]"},
+                )
+                return
+            raw = self.rfile.read(length)
+            img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if img is None:
+                self._send_json(400, {"error": "could not decode image"})
+                return
+            t0 = time.perf_counter()
+            try:
+                dets = service.detect(img)
+            except QueueFullError as e:
+                self._send_json(429, {"error": str(e)})
+                return
+            except (BatcherClosedError, TimeoutError) as e:
+                self._send_json(503, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — surface, don't crash the server
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._send_json(200, {
+                "detections": dets,
+                "image_hw": [int(img.shape[0]), int(img.shape[1])],
+                "ms": round((time.perf_counter() - t0) * 1e3, 2),
+            })
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,199 @@
+"""DetectionService: images in, detection dicts out, batched on-device.
+
+Wraps the fused serving program (``exp.get_serving_fn`` — on-device
+uint8 letterbox + forward + decode + NMS — or a portable StableHLO
+artifact from ``tools/export_serving.py``) behind a ``DynamicBatcher``:
+
+    svc = DetectionService.from_exp(exp, model, variables, batch=16,
+                                    src_hw=(720, 1280))
+    dets = svc.detect(frame_bgr)     # any HxW uint8 image, thread-safe
+
+The serving program's input shape is static (``[batch, *src_hw, 3]``
+uint8).  Arbitrary client images are letterboxed onto that canvas on the
+host (uint8, pad 114 — the same convention as training,
+`/root/reference/yolox/data/data_augment.py:144-160`); the device
+program letterboxes ``src_hw -> test_size`` again.  Both ratios are
+composed and divided back out, so returned coordinates are in the
+ORIGINAL image's pixel space.  Pick ``src_hw`` = the camera's native
+resolution and the host does no pixel work at all (same-size frames
+skip the canvas entirely and the single resize happens on device).
+
+The reference has no serving path — its closest analogue re-runs eager
+per-image torch (`/root/reference/yolox_24p/show_24p.py:266-305`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .batcher import DynamicBatcher
+
+PAD_VALUE = 114
+
+
+def _host_letterbox(img: np.ndarray, src_hw: Tuple[int, int]):
+    """uint8 HWC image -> (uint8 [*src_hw, 3] canvas, ratio)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    if (h, w) == tuple(src_hw):
+        return np.ascontiguousarray(img), 1.0
+    r = min(src_hw[0] / h, src_hw[1] / w)
+    nh, nw = int(h * r), int(w * r)
+    canvas = np.full((src_hw[0], src_hw[1], 3), PAD_VALUE, np.uint8)
+    canvas[:nh, :nw] = cv2.resize(img, (nw, nh),
+                                  interpolation=cv2.INTER_LINEAR)
+    return canvas, r
+
+
+def _polygon_points(center_xy: np.ndarray, radii: np.ndarray) -> np.ndarray:
+    """Decode 24 radii to xy vertices — the correct-math convention the
+    reference's own drawing path uses (`show_24p.py:346-353`); the
+    θ·cosθ NMS quirk never leaks into responses."""
+    from ..ops.polygon import COS_ANGLES, SIN_ANGLES
+
+    x = center_xy[0] + radii * COS_ANGLES
+    y = center_xy[1] + radii * SIN_ANGLES
+    return np.stack([x, y], axis=-1)
+
+
+class DetectionService:
+    """Thread-safe, dynamically batched detection over one device program.
+
+    ``serve_fn``: ``uint8 [batch, *src_hw, 3] -> Detections`` (or the
+    artifact's ``{"rows", "valid"}`` dict).  ``test_size`` is the model
+    input the device program letterboxes to — needed to undo that ratio.
+    """
+
+    def __init__(self, serve_fn, batch: int, src_hw: Tuple[int, int],
+                 test_size: Tuple[int, int],
+                 class_names: Optional[Sequence[str]] = None,
+                 max_wait_ms: float = 5.0, max_queue: int = 256,
+                 warmup: bool = True):
+        self._serve_fn = serve_fn
+        self.batch = int(batch)
+        self.src_hw = tuple(int(v) for v in src_hw)
+        self.test_size = tuple(int(v) for v in test_size)
+        self.class_names = list(class_names) if class_names else None
+        # the device program's letterbox ratio (static: both shapes fixed)
+        self.dev_ratio = min(self.test_size[0] / self.src_hw[0],
+                             self.test_size[1] / self.src_hw[1])
+        self._pad_canvas = np.full(
+            (1, *self.src_hw, 3), PAD_VALUE, np.uint8
+        )
+        if warmup:
+            self._device_call(
+                np.zeros((self.batch, *self.src_hw, 3), np.uint8)
+            )  # compile before the first request lands
+        self._batcher = DynamicBatcher(
+            self._run_batch, max_batch=self.batch,
+            max_wait_ms=max_wait_ms, max_queue=max_queue,
+        )
+
+    # ------------------------------------------------------- constructors
+
+    @classmethod
+    def from_exp(cls, exp, model, variables, batch: int,
+                 src_hw: Optional[Tuple[int, int]] = None,
+                 quant_scales=None, quant_min_channels: int = 64,
+                 class_names=None, **kw) -> "DetectionService":
+        src_hw = tuple(src_hw or exp.test_size)
+        serve = exp.get_serving_fn(
+            model, variables, src_hw, quant_scales=quant_scales,
+            quant_min_channels=quant_min_channels,
+        )
+        return cls(serve, batch, src_hw, tuple(exp.test_size),
+                   class_names=class_names, **kw)
+
+    @classmethod
+    def from_artifact(cls, path: str, test_size: Tuple[int, int],
+                      class_names=None, **kw) -> "DetectionService":
+        """Serve a StableHLO blob — no model code or checkpoint needed.
+        Batch and ``src_hw`` come from the artifact's input spec;
+        ``test_size`` is the model input size it was exported with."""
+        from ..utils.serving_export import load_serving_artifact
+
+        exported = load_serving_artifact(path)
+        (aval,) = exported.in_avals
+        b, h, w, _ = aval.shape
+        return cls(exported.call, b, (h, w), test_size,
+                   class_names=class_names, **kw)
+
+    # ------------------------------------------------------------- public
+
+    def detect(self, img: np.ndarray,
+               timeout: Optional[float] = 30.0) -> List[dict]:
+        """Detect on one uint8 HWC (BGR) image of any size; blocks until
+        its batch completes.  Returns one dict per detection with
+        coordinates in the input image's pixel space."""
+        if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+            raise ValueError(
+                f"expected uint8 HWC 3-channel image, got "
+                f"{img.dtype}{list(img.shape)}"
+            )
+        return self._batcher.submit(_host_letterbox(img, self.src_hw),
+                                    timeout=timeout)
+
+    def stats(self) -> dict:
+        s = self._batcher.stats()
+        s.update(src_hw=list(self.src_hw), test_size=list(self.test_size),
+                 class_names=bool(self.class_names))
+        return s
+
+    def close(self) -> None:
+        self._batcher.close()
+
+    # ------------------------------------------------------------ batched
+
+    def _device_call(self, canvases: np.ndarray):
+        out = self._serve_fn(canvases)
+        if isinstance(out, dict):  # artifact surface
+            rows, valid = out["rows"], out["valid"]
+        else:  # Detections namedtuple
+            rows, valid = out.rows, out.valid
+        # host fetch = the only real synchronization over the axon tunnel
+        return np.asarray(rows), np.asarray(valid)
+
+    def _run_batch(self, items) -> List[List[dict]]:
+        n = len(items)
+        canvases = np.concatenate(
+            [c[None] for c, _ in items]
+            + [self._pad_canvas] * (self.batch - n)
+        )
+        rows, valid = self._device_call(canvases)
+        return [
+            self._to_dicts(rows[i], valid[i], items[i][1])
+            for i in range(n)
+        ]
+
+    def _to_dicts(self, rows: np.ndarray, valid: np.ndarray,
+                  host_ratio: float) -> List[dict]:
+        ratio = self.dev_ratio * host_ratio
+        out = []
+        d = rows.shape[-1]
+        for row in rows[valid.astype(bool)]:
+            obj, cls_conf, cls_id = (
+                float(row[d - 3]), float(row[d - 2]), int(row[d - 1])
+            )
+            det = {
+                "class_id": cls_id,
+                "score": obj * cls_conf,
+                "obj": obj,
+                "cls_conf": cls_conf,
+            }
+            if self.class_names:
+                det["class_name"] = self.class_names[cls_id]
+            if d == 7:        # bbox family: x1 y1 x2 y2 obj conf cls
+                det["bbox"] = (row[:4] / ratio).tolist()
+            elif d == 29:     # 24p family: x y r1..r24 obj conf cls
+                center = row[:2] / ratio
+                radii = row[2:26] / ratio
+                det["center"] = center.tolist()
+                det["radii"] = radii.tolist()
+                det["points"] = _polygon_points(center, radii).tolist()
+            else:  # pragma: no cover — future families
+                det["raw"] = row[: d - 3].tolist()
+            out.append(det)
+        return out

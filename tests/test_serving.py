@@ -1,0 +1,323 @@
+"""Serving stack: dynamic batcher semantics, DetectionService coordinate
+mapping / batch padding, the HTTP front end, and the StableHLO-artifact
+path (eop_tpu/serving/)."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eop_tpu.serving import (
+    BatcherClosedError,
+    DetectionService,
+    DynamicBatcher,
+    QueueFullError,
+    make_http_server,
+)
+
+# --------------------------------------------------------------- batcher
+
+
+def test_batcher_coalesces_concurrent_requests():
+    sizes = []
+
+    def run(items):
+        sizes.append(len(items))
+        time.sleep(0.01)
+        return [x * 2 for x in items]
+
+    b = DynamicBatcher(run, max_batch=8, max_wait_ms=400)
+    results = [None] * 6
+
+    def worker(i):
+        results[i] = b.submit(i)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    b.close()
+    assert results == [0, 2, 4, 6, 8, 10]
+    assert max(sizes) >= 2, f"no coalescing happened: {sizes}"
+    s_total = sum(sizes)
+    assert s_total == 6
+
+
+def test_batcher_partial_batch_after_window():
+    """A lone request must not wait for a full batch."""
+    b = DynamicBatcher(lambda xs: xs, max_batch=64, max_wait_ms=30)
+    t0 = time.perf_counter()
+    assert b.submit("x") == "x"
+    assert time.perf_counter() - t0 < 5.0
+    b.close()
+
+
+def test_batcher_error_propagates_to_all_waiters():
+    def run(items):
+        raise ValueError("boom")
+
+    b = DynamicBatcher(run, max_batch=4, max_wait_ms=50)
+    errs = []
+
+    def worker():
+        try:
+            b.submit(1)
+        except ValueError as e:
+            errs.append(str(e))
+
+    ts = [threading.Thread(target=worker) for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == ["boom"] * 3
+    assert b.stats()["errors"] == 3
+    b.close()
+
+
+def test_batcher_queue_full_and_close():
+    release = threading.Event()
+
+    def run(items):
+        release.wait(5)
+        return items
+
+    b = DynamicBatcher(run, max_batch=1, max_wait_ms=1, max_queue=2)
+    ts = [threading.Thread(target=lambda: b.submit(0)) for _ in range(3)]
+    for t in ts:
+        t.start()
+    time.sleep(0.3)  # dispatcher holds one batch; queue fills behind it
+    with pytest.raises(QueueFullError):
+        b.submit(99)
+    release.set()
+    for t in ts:
+        t.join()
+    b.close()
+    with pytest.raises(BatcherClosedError):
+        b.submit(1)
+
+
+# --------------------------------------------------------------- service
+
+from eop_tpu.exp import Exp
+from eop_tpu.exp.yolox_24p_base import Exp24P
+from eop_tpu.models import init_model
+
+
+def _tiny(exp):
+    exp.depth, exp.width = 0.33, 0.125
+    exp.num_classes = 3
+    exp.input_size = exp.test_size = (64, 64)
+    # random-init obj*cls scores sit at the squared 0.01 prior-prob bias
+    # (1e-4); a lower threshold keeps detections flowing without trained
+    # weights
+    exp.test_conf = 5e-5
+    model = exp.get_model()
+    variables = init_model(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    return exp, model, variables
+
+
+@pytest.fixture(scope="module")
+def svc_24p():
+    exp, model, variables = _tiny(Exp24P())
+    svc = DetectionService.from_exp(
+        exp, model, variables, batch=2, src_hw=(48, 80),
+        max_wait_ms=1.0, class_names=["a", "b", "c"],
+    )
+    yield svc, exp, model, variables
+    svc.close()
+
+
+def test_service_24p_mapping_and_padding(svc_24p):
+    """detect() on an odd-size image == running the serving program by
+    hand on the letterboxed canvas and unscaling by both ratios; the
+    pad rows of a partial batch never leak into results."""
+    svc, exp, model, variables = svc_24p
+    img = np.random.RandomState(1).randint(0, 255, (100, 160, 3), np.uint8)
+    dets = svc.detect(img)
+    assert dets, "random-init detector should fire at conf 5e-5"
+
+    # manual reference: host letterbox -> device program -> unscale
+    from eop_tpu.serving.service import PAD_VALUE, _host_letterbox
+
+    canvas, r_host = _host_letterbox(img, svc.src_hw)
+    batch = np.stack([canvas, np.full_like(canvas, PAD_VALUE)])
+    out = exp.get_serving_fn(model, variables, svc.src_hw)(batch)
+    rows = np.asarray(out.rows)[0]
+    valid = np.asarray(out.valid)[0].astype(bool)
+    ratio = svc.dev_ratio * r_host
+    assert len(dets) == int(valid.sum())
+    got_centers = np.array([d["center"] for d in dets])
+    np.testing.assert_allclose(
+        got_centers, rows[valid][:, :2] / ratio, rtol=1e-6
+    )
+    got_radii = np.array([d["radii"] for d in dets])
+    np.testing.assert_allclose(
+        got_radii, rows[valid][:, 2:26] / ratio, rtol=1e-6
+    )
+    d0 = dets[0]
+    assert d0["class_name"] in ("a", "b", "c")
+    assert np.asarray(d0["points"]).shape == (24, 2)
+    assert 0.0 < d0["score"] <= 1.0
+    # polygon points decode with the CORRECT angle math (not the
+    # reference's theta*cos(theta) NMS quirk): point 0 lies on the +x ray
+    np.testing.assert_allclose(
+        d0["points"][0],
+        [d0["center"][0] + d0["radii"][0], d0["center"][1]],
+        rtol=1e-5,
+    )
+
+
+def test_service_same_size_image_is_identity_ratio(svc_24p):
+    """src_hw-sized input: no host resize, coords = rows / dev_ratio."""
+    svc, exp, model, variables = svc_24p
+    img = np.random.RandomState(2).randint(
+        0, 255, (*svc.src_hw, 3), np.uint8
+    )
+    dets = svc.detect(img)
+    batch = np.stack([img, img])
+    rows = np.asarray(
+        exp.get_serving_fn(model, variables, svc.src_hw)(batch).rows
+    )[0]
+    np.testing.assert_allclose(
+        dets[0]["center"], rows[0, :2] / svc.dev_ratio, rtol=1e-6
+    )
+
+
+def test_service_bbox_family_and_input_validation():
+    exp, model, variables = _tiny(Exp())
+    svc = DetectionService.from_exp(
+        exp, model, variables, batch=2, max_wait_ms=1.0
+    )
+    try:
+        img = np.random.RandomState(3).randint(0, 255, (64, 64, 3), np.uint8)
+        dets = svc.detect(img)
+        assert dets
+        assert "bbox" in dets[0] and len(dets[0]["bbox"]) == 4
+        assert "center" not in dets[0]
+        with pytest.raises(ValueError):
+            svc.detect(img.astype(np.float32))
+        with pytest.raises(ValueError):
+            svc.detect(img[..., 0])
+    finally:
+        svc.close()
+
+
+def test_service_from_artifact(tmp_path, svc_24p):
+    """The StableHLO-artifact service returns what the live one does."""
+    svc, exp, model, variables = svc_24p
+    from eop_tpu.utils.serving_export import (
+        export_serving,
+        save_serving_artifact,
+    )
+
+    path = str(tmp_path / "svc.stablehlo")
+    save_serving_artifact(
+        export_serving(exp, model, variables, 2, svc.src_hw,
+                       platforms=("cpu",)),
+        path,
+    )
+    art_svc = DetectionService.from_artifact(
+        path, exp.test_size, max_wait_ms=1.0
+    )
+    try:
+        assert art_svc.batch == 2 and art_svc.src_hw == svc.src_hw
+        img = np.random.RandomState(4).randint(
+            0, 255, (72, 96, 3), np.uint8
+        )
+        live, art = svc.detect(img), art_svc.detect(img)
+        assert json.dumps(
+            [{k: v for k, v in d.items() if k != "class_name"}
+             for d in live]
+        ) == json.dumps(art)
+    finally:
+        art_svc.close()
+
+
+# ------------------------------------------------------------------ HTTP
+
+
+@pytest.fixture(scope="module")
+def http_server(svc_24p):
+    svc, *_ = svc_24p
+    server = make_http_server(svc, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _post(url, body, timeout=60):
+    req = urllib.request.Request(url, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_detect_stats_health(http_server):
+    import cv2
+
+    base = http_server
+    with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+    img = np.random.RandomState(5).randint(0, 255, (90, 120, 3), np.uint8)
+    ok, jpg = cv2.imencode(".jpg", img)
+    assert ok
+    code, payload = _post(base + "/v1/detect", jpg.tobytes())
+    assert code == 200, payload
+    assert payload["image_hw"] == [90, 120]
+    assert payload["detections"], "expected detections at conf 5e-5"
+    det = payload["detections"][0]
+    assert {"class_id", "score", "center", "radii", "points"} <= set(det)
+
+    code, payload = _post(base + "/v1/detect", b"not an image")
+    assert code == 400
+
+    with urllib.request.urlopen(base + "/v1/stats", timeout=10) as r:
+        stats = json.loads(r.read())
+    assert stats["requests"] >= 1 and stats["batches"] >= 1
+
+
+def test_http_concurrent_requests_batch_together(http_server):
+    import cv2
+
+    base = http_server
+    img = np.random.RandomState(6).randint(0, 255, (48, 80, 3), np.uint8)
+    body = cv2.imencode(".jpg", img)[1].tobytes()
+    before = json.loads(
+        urllib.request.urlopen(base + "/v1/stats", timeout=10).read()
+    )
+    codes = []
+
+    def worker():
+        codes.append(_post(base + "/v1/detect", body)[0])
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert codes == [200] * 4
+    after = json.loads(
+        urllib.request.urlopen(base + "/v1/stats", timeout=10).read()
+    )
+    n_req = after["requests"] - before["requests"]
+    n_bat = after["batches"] - before["batches"]
+    assert n_req == 4
+    # batch capacity is 2: 4 requests need >= 2 batches; coalescing means
+    # strictly fewer batches than requests (the 5 ms window on a 1-core
+    # box reliably groups at least one pair)
+    assert n_bat < n_req, f"{n_bat} batches for {n_req} requests"
