@@ -2,7 +2,10 @@
 
 Endpoints:
 
-* ``POST /v1/detect`` — body: an encoded image (JPEG/PNG/BMP, any size).
+* ``POST /v1/detect`` — body: an encoded image (JPEG/PNG/BMP, any size),
+  or raw uint8 HWC bytes with an ``X-Raw-Shape: H,W,3`` header (skips
+  the image decode — the low-overhead path for camera/video pipelines
+  that already hold raw frames).
   Response: ``{"detections": [...], "image_hw": [H, W], "ms": float}``
   with coordinates in the posted image's pixel space.
 * ``GET /v1/stats``  — batcher/service counters (occupancy, latency
@@ -68,11 +71,27 @@ def make_http_server(service, host: str = "0.0.0.0", port: int = 8000,
                 )
                 return
             raw = self.rfile.read(length)
-            img = cv2.imdecode(np.frombuffer(raw, np.uint8),
-                               cv2.IMREAD_COLOR)
-            if img is None:
-                self._send_json(400, {"error": "could not decode image"})
-                return
+            shape_hdr = self.headers.get("X-Raw-Shape")
+            if shape_hdr:
+                try:
+                    shape = tuple(int(v) for v in shape_hdr.split(","))
+                    if len(shape) != 3 or shape[2] != 3:
+                        raise ValueError(shape_hdr)
+                    img = np.frombuffer(raw, np.uint8).reshape(shape)
+                except ValueError:
+                    self._send_json(400, {
+                        "error": f"X-Raw-Shape {shape_hdr!r} does not "
+                                 f"describe the {length}-byte body as "
+                                 "uint8 [H,W,3]",
+                    })
+                    return
+            else:
+                img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                   cv2.IMREAD_COLOR)
+                if img is None:
+                    self._send_json(400,
+                                    {"error": "could not decode image"})
+                    return
             t0 = time.perf_counter()
             try:
                 dets = service.detect(img)

@@ -71,22 +71,38 @@ class DetectionService:
                  test_size: Tuple[int, int],
                  class_names: Optional[Sequence[str]] = None,
                  max_wait_ms: float = 5.0, max_queue: int = 256,
-                 warmup: bool = True):
+                 warmup: bool = True,
+                 buckets: Optional[Sequence[int]] = None):
         self._serve_fn = serve_fn
         self.batch = int(batch)
         self.src_hw = tuple(int(v) for v in src_hw)
         self.test_size = tuple(int(v) for v in test_size)
         self.class_names = list(class_names) if class_names else None
+        # Batch-size buckets: a partial batch is padded only up to the
+        # smallest compiled bucket that fits, not to ``batch`` — padding
+        # waste (host->device bytes AND device FLOPs are both linear in
+        # the padded size) tracks the actual load.  Static shapes mean
+        # one compiled program per bucket; default: powers of two.
+        if buckets is None:
+            buckets = [b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+                       if b < self.batch] + [self.batch]
+        self.buckets = sorted(set(int(b) for b in buckets))
+        if self.buckets[-1] != self.batch:
+            raise ValueError(
+                f"largest bucket {self.buckets[-1]} != batch {self.batch}"
+            )
         # the device program's letterbox ratio (static: both shapes fixed)
         self.dev_ratio = min(self.test_size[0] / self.src_hw[0],
                              self.test_size[1] / self.src_hw[1])
         self._pad_canvas = np.full(
             (1, *self.src_hw, 3), PAD_VALUE, np.uint8
         )
+        self._bucket_hits = {b: 0 for b in self.buckets}
         if warmup:
-            self._device_call(
-                np.zeros((self.batch, *self.src_hw, 3), np.uint8)
-            )  # compile before the first request lands
+            for b in self.buckets:  # compile before requests land
+                self._device_call(
+                    np.zeros((b, *self.src_hw, 3), np.uint8)
+                )
         self._batcher = DynamicBatcher(
             self._run_batch, max_batch=self.batch,
             max_wait_ms=max_wait_ms, max_queue=max_queue,
@@ -112,14 +128,17 @@ class DetectionService:
                       class_names=None, **kw) -> "DetectionService":
         """Serve a StableHLO blob — no model code or checkpoint needed.
         Batch and ``src_hw`` come from the artifact's input spec;
-        ``test_size`` is the model input size it was exported with."""
+        ``test_size`` is the model input size it was exported with.
+        The artifact carries ONE compiled shape, so every dispatch pads
+        to its full batch (no bucketing — export several artifacts and
+        run several services if partial-batch waste matters)."""
         from ..utils.serving_export import load_serving_artifact
 
         exported = load_serving_artifact(path)
         (aval,) = exported.in_avals
         b, h, w, _ = aval.shape
         return cls(exported.call, b, (h, w), test_size,
-                   class_names=class_names, **kw)
+                   class_names=class_names, buckets=[b], **kw)
 
     # ------------------------------------------------------------- public
 
@@ -139,7 +158,9 @@ class DetectionService:
     def stats(self) -> dict:
         s = self._batcher.stats()
         s.update(src_hw=list(self.src_hw), test_size=list(self.test_size),
-                 class_names=bool(self.class_names))
+                 class_names=bool(self.class_names),
+                 bucket_hits={str(k): v
+                              for k, v in self._bucket_hits.items() if v})
         return s
 
     def close(self) -> None:
@@ -158,9 +179,11 @@ class DetectionService:
 
     def _run_batch(self, items) -> List[List[dict]]:
         n = len(items)
+        bucket = next(b for b in self.buckets if b >= n)
+        self._bucket_hits[bucket] += 1
         canvases = np.concatenate(
             [c[None] for c, _ in items]
-            + [self._pad_canvas] * (self.batch - n)
+            + [self._pad_canvas] * (bucket - n)
         )
         rows, valid = self._device_call(canvases)
         return [

@@ -150,7 +150,10 @@ def test_service_24p_mapping_and_padding(svc_24p):
     from eop_tpu.serving.service import PAD_VALUE, _host_letterbox
 
     canvas, r_host = _host_letterbox(img, svc.src_hw)
-    batch = np.stack([canvas, np.full_like(canvas, PAD_VALUE)])
+    # a lone detect() dispatches in bucket 1 (same compiled shape here —
+    # XLA picks slightly different conv algorithms per batch size, so the
+    # reference must run the same bucket for exact agreement)
+    batch = canvas[None]
     out = exp.get_serving_fn(model, variables, svc.src_hw)(batch)
     rows = np.asarray(out.rows)[0]
     valid = np.asarray(out.valid)[0].astype(bool)
@@ -184,9 +187,8 @@ def test_service_same_size_image_is_identity_ratio(svc_24p):
         0, 255, (*svc.src_hw, 3), np.uint8
     )
     dets = svc.detect(img)
-    batch = np.stack([img, img])
     rows = np.asarray(
-        exp.get_serving_fn(model, variables, svc.src_hw)(batch).rows
+        exp.get_serving_fn(model, variables, svc.src_hw)(img[None]).rows
     )[0]
     np.testing.assert_allclose(
         dets[0]["center"], rows[0, :2] / svc.dev_ratio, rtol=1e-6
@@ -208,6 +210,10 @@ def test_service_bbox_family_and_input_validation():
             svc.detect(img.astype(np.float32))
         with pytest.raises(ValueError):
             svc.detect(img[..., 0])
+        # a lone request dispatches in the SMALLEST bucket (1), not the
+        # full compiled batch — padding waste tracks the load
+        assert svc.buckets == [1, 2]
+        assert svc.stats()["bucket_hits"].get("1", 0) >= 1
     finally:
         svc.close()
 
@@ -229,18 +235,24 @@ def test_service_from_artifact(tmp_path, svc_24p):
     art_svc = DetectionService.from_artifact(
         path, exp.test_size, max_wait_ms=1.0
     )
+    # the artifact carries ONE shape (batch 2, buckets=[2]); compare
+    # against a live service pinned to the same bucket so both sides run
+    # the identical compiled shape
+    live_svc = DetectionService.from_exp(
+        exp, model, variables, batch=2, src_hw=svc.src_hw,
+        buckets=[2], max_wait_ms=1.0,
+    )
     try:
         assert art_svc.batch == 2 and art_svc.src_hw == svc.src_hw
+        assert art_svc.buckets == [2]
         img = np.random.RandomState(4).randint(
             0, 255, (72, 96, 3), np.uint8
         )
-        live, art = svc.detect(img), art_svc.detect(img)
-        assert json.dumps(
-            [{k: v for k, v in d.items() if k != "class_name"}
-             for d in live]
-        ) == json.dumps(art)
+        live, art = live_svc.detect(img), art_svc.detect(img)
+        assert live and json.dumps(live) == json.dumps(art)
     finally:
         art_svc.close()
+        live_svc.close()
 
 
 # ------------------------------------------------------------------ HTTP
@@ -285,6 +297,29 @@ def test_http_detect_stats_health(http_server):
 
     code, payload = _post(base + "/v1/detect", b"not an image")
     assert code == 400
+
+    # raw-tensor fast path: X-Raw-Shape bypasses the image decode and
+    # must produce identical detections to the encoded-PNG (lossless)
+    # path for the same pixels
+    png = cv2.imencode(".png", img)[1].tobytes()
+    _, via_png = _post(base + "/v1/detect", png)
+    req = urllib.request.Request(
+        base + "/v1/detect", data=img.tobytes(), method="POST",
+        headers={"X-Raw-Shape": "90,120,3"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        via_raw = json.loads(r.read())
+    assert via_raw["detections"] == via_png["detections"]
+    req = urllib.request.Request(
+        base + "/v1/detect", data=img.tobytes(), method="POST",
+        headers={"X-Raw-Shape": "17,11,3"},  # wrong byte count
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 400
+    assert raised
 
     with urllib.request.urlopen(base + "/v1/stats", timeout=10) as r:
         stats = json.loads(r.read())
