@@ -325,11 +325,13 @@ class Exp24P(BaseExp):
         """Multi-chip serving/eval: batch sharded on the data axis,
         detections sharded out, params replicated.  ``quant_scales``
         runs the int8 PTQ path on every chip."""
-        from ..parallel.mesh import shard_inference
+        from ..parallel.mesh import DATA_AXIS, shard_inference
 
+        # per-device batch = global / data-axis extent (a space axis, if
+        # any, splits H instead — see make_mesh(spatial=...))
         return shard_inference(
             self._infer_body(model, variables, quant_scales,
                              quant_min_channels,
-                             batch_divisor=mesh.size),
+                             batch_divisor=mesh.shape[DATA_AXIS]),
             mesh,
         )

@@ -181,6 +181,14 @@ class CSPDarknet(nn.Module):
         x = CSPLayer(base_ch * 8, n=base_depth * 3, name="dark4_csp", **csp_kw)(x, train)
         outputs["dark4"] = x
 
+        # Under spatial partitioning, gather the space axis before dark5:
+        # at 1/32 resolution the grid is tiny (20x20 at 640 px) and the
+        # SPP k=13 pools' 6-row halos rival the shard extent, so halo
+        # traffic exceeds what the stage's few FLOPs justify (see
+        # parallel/mesh.py::unshard_space).  No-op on 1-D meshes.
+        from eop_tpu.parallel.mesh import unshard_space
+
+        x = unshard_space(x)
         x = Conv(base_ch * 16, 3, 2, name="dark5_conv", **kw)(x, train)
         x = SPPBottleneck(base_ch * 16, act=self.act, dtype=self.dtype,
                           bn_axis_name=self.bn_axis_name, name="dark5_spp")(x, train)

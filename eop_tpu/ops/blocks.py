@@ -335,9 +335,20 @@ class SPPBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from eop_tpu.parallel.mesh import unshard_space
+
         hidden = x.shape[-1] // 2
         x = BaseConv(hidden, 1, 1, act=self.act, dtype=self.dtype,
                      bn_axis_name=self.bn_axis_name, name="conv1")(x, train)
+        # Under spatial partitioning, fence the pool block to batch-only
+        # sharding (no-op otherwise — parallel/mesh.py::unshard_space):
+        # the wide pool windows (k=13 ⇒ 6-row halos) rival the shard
+        # extent at this 1/32-resolution grid, so halos cost more than
+        # the gather, and the padded windows are near-tie-rich (f32
+        # argmax flips under sharded reduction order — see unshard_space).
+        # The pin sits on conv1's output so the pools, the concat, and
+        # the saved backward residuals all consume the batch-only tensor.
+        x = unshard_space(x)
         pools = [_maxpool_same(x, ks) for ks in self.kernel_sizes]
         x = jnp.concatenate([x] + pools, axis=-1)
         x = BaseConv(self.out_channels, 1, 1, act=self.act, dtype=self.dtype,

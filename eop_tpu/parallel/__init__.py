@@ -1,5 +1,9 @@
 from .mesh import (
     DATA_AXIS,
+    SPACE_AXIS,
+    image_spec,
+    trace_mesh,
+    unshard_space,
     make_mesh,
     replicated,
     batch_sharded,

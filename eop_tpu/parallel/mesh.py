@@ -17,6 +17,9 @@ What this replaces (SURVEY.md §2.6):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -24,19 +27,132 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
+
+# Mesh visible to model code while a shard_* wrapper is being traced.
+# Intentionally our own contextvar rather than jax's legacy `with mesh:`
+# resource env (private thread_resources) or `jax.sharding.get_mesh()`
+# (does not see the legacy context in jax 0.9).
+_TRACE_MESH: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
+    "eop_tpu_trace_mesh", default=None
+)
+
+
+@contextlib.contextmanager
+def trace_mesh(mesh: Optional[Mesh]):
+    """Make ``mesh`` visible to ``unshard_space`` during tracing."""
+    tok = _TRACE_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _TRACE_MESH.reset(tok)
+
+
+def _traced_under(fn, mesh: Mesh):
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        with trace_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    return inner
+
+
+def _pin_both_ways(x, sharding: NamedSharding):
+    """with_sharding_constraint on the primal AND its cotangent.
+
+    A bare ``with_sharding_constraint`` constrains the forward tensor and
+    (via its transpose) the backward reshard's *output*; the cotangent
+    arriving at the cut is still free for GSPMD to propagate into from
+    downstream.  For a sharding *fence* — "everything past this point is
+    batch-only, in both passes" — the cotangent must be pinned at the
+    same cut, so the fenced region has no space-sharded sources in either
+    direction.
+    """
+
+    @jax.custom_vjp
+    def pin(v):
+        return jax.lax.with_sharding_constraint(v, sharding)
+
+    def pin_fwd(v):
+        return pin(v), None
+
+    def pin_bwd(_, g):
+        return (jax.lax.with_sharding_constraint(g, sharding),)
+
+    pin.defvjp(pin_fwd, pin_bwd)
+    return pin(x)
+
+
+def unshard_space(x, axis_name: str = DATA_AXIS):
+    """Gather the space axis off an NHWC activation (no-op unless traced
+    under a mesh with a space axis — see ``trace_mesh``), pinning both the
+    value and its cotangent to batch-only sharding.
+
+    Model code calls this where spatial partitioning stops paying
+    (CSPDarknet before dark5, SPPBottleneck before its pools):
+
+    * Performance: dark5 runs at 1/32 of the input resolution (20x20 at
+      640 px) — a few percent of the FLOPs on the grid where halo
+      overhead is proportionally largest (the SPP k=13 pools need 6-row
+      halos, comparable to the shard extent itself).  Spatial sharding
+      earns its keep on the stem..dark4 grids; gathering the tail costs
+      one tiny all-gather.
+    * Gradient reproducibility: sharded-vs-single grads are verified
+      exact in float64 at every size tried (tests/test_spatial.py) — no
+      partitioner bug — but in float32 the SPP pools sit on heavily
+      padded windows full of near-ties, where reduction-order noise from
+      sharded BN flips pool argmaxes and reroutes O(1) gradient per
+      flipped window.  Keeping the tie-rich tail batch-only removes the
+      dominant source of run-to-run grad divergence for free.
+    """
+    mesh = _TRACE_MESH.get()
+    if mesh is None or SPACE_AXIS not in mesh.axis_names:
+        return x
+    spec = P(axis_name, *([None] * (np.ndim(x) - 1)))
+    return _pin_both_ways(x, NamedSharding(mesh, spec))
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,
     axis_name: str = DATA_AXIS,
+    spatial: int = 1,
 ) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    """Device mesh over the first ``n_devices`` devices.
+
+    ``spatial=1`` (default): 1-D data-parallel mesh.  ``spatial>1``: a 2-D
+    ``(data, space)`` mesh — image activations are additionally sharded
+    along their height dim over the ``space`` axis and GSPMD inserts the
+    conv halo exchanges, so one image's FLOPs and activation memory spread
+    over ``spatial`` chips.  This is the scaling axis the reference cannot
+    express at all (its DDP replicates the model and needs batch >= world
+    size, `yolox/core/launch.py:39-147`); here it serves high-resolution
+    or small-batch regimes where pure DP runs out of batch.  Halo traffic
+    is O(W·C) per boundary vs O(H·W·C²/spatial) conv FLOPs per chip, so it
+    rides ICI essentially free at real image sizes.
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if spatial > 1:
+        if devices.size % spatial:
+            raise ValueError(
+                f"{devices.size} devices do not split into spatial={spatial}"
+            )
+        return Mesh(
+            devices.reshape(-1, spatial), (axis_name, SPACE_AXIS)
+        )
+    return Mesh(devices, (axis_name,))
+
+
+def image_spec(mesh: Mesh, axis_name: str = DATA_AXIS) -> P:
+    """PartitionSpec for NHWC image batches on this mesh: batch over the
+    data axis, plus height over the space axis when the mesh has one."""
+    if SPACE_AXIS in mesh.axis_names:
+        return P(axis_name, SPACE_AXIS)
+    return P(axis_name)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -56,19 +172,33 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
     into one global array along the data axis — ``device_put`` with a
     global sharding would instead misread each local batch as the full
     global array.
+
+    On a 2-D ``(data, space)`` mesh, 4-D (NHWC image) leaves are placed
+    with their height dim sharded over the space axis as well; lower-rank
+    leaves (labels etc.) shard only on the batch dim.
     """
+    img = image_spec(mesh, axis_name)
+
+    def spec_for(x):
+        return img if np.ndim(x) == 4 else P(axis_name)
+
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        spec = P(axis_name)
+        # each process holds its local batch at FULL spatial extent, which
+        # is exactly the host-local portion as long as the space axis (if
+        # any) spans devices within one process — true for meshes built by
+        # make_mesh over jax.devices() (process-major order).
         return jax.tree.map(
             lambda x: multihost_utils.host_local_array_to_global_array(
-                np.asarray(x), mesh, spec
+                np.asarray(x), mesh, spec_for(x)
             ),
             batch,
         )
-    sharding = batch_sharded(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))),
+        batch,
+    )
 
 
 def shard_inference(infer_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
@@ -78,9 +208,17 @@ def shard_inference(infer_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
     no inference parallelism at all (its demo/eval loops are single-GPU,
     `yolox/core/launch.py` only covers training); on TPU the same jitted
     program scales across the mesh with zero code changes to the model.
+
+    On a ``(data, space)`` mesh the input batch arrives height-sharded as
+    well (see ``make_mesh(spatial=...)``): the backbone/FPN convs run
+    spatially partitioned (GSPMD halo exchange), and the per-image outputs
+    (rows/valid — no spatial dims) leave batch-sharded.
     """
     data = NamedSharding(mesh, P(axis_name))
-    return jax.jit(infer_fn, in_shardings=(data,), out_shardings=data)
+    imgs = NamedSharding(mesh, image_spec(mesh, axis_name))
+    return jax.jit(
+        _traced_under(infer_fn, mesh), in_shardings=(imgs,), out_shardings=data
+    )
 
 
 def shard_train_step(step_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
@@ -89,12 +227,19 @@ def shard_train_step(step_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
 
     Gradients come out averaged across shards automatically (XLA lowers the
     replicated-output requirement to a psum over ICI).
+
+    On a ``(data, space)`` mesh the image batch is additionally
+    height-sharded: the conv-dominated forward/backward (where ~all the
+    FLOPs and activation memory live) runs spatially partitioned, while
+    labels and the per-anchor loss stay batch-sharded — GSPMD gathers the
+    (small) head outputs across the space axis at the loss boundary.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
+    imgs = NamedSharding(mesh, image_spec(mesh, axis_name))
     return jax.jit(
-        step_fn,
-        in_shardings=(repl, data, data, repl),
+        _traced_under(step_fn, mesh),
+        in_shardings=(repl, imgs, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

@@ -29,7 +29,6 @@ import numpy as np
 
 from ..losses import YoloxLossConfig
 from ..parallel.mesh import (
-    batch_sharded,
     shard_batch,
     make_mesh,
     shard_train_step,
@@ -150,8 +149,7 @@ class Trainer:
         )
         self.resume_train()
 
-        self.mesh = make_mesh()
-        self.batch_sharding = batch_sharded(self.mesh)
+        self.mesh = make_mesh(spatial=getattr(args, "spatial", 1))
         self._steps = {}  # (use_l1,) -> compiled step
         self.evaluator = (
             # both halves of distributed eval wired together: the

@@ -120,7 +120,7 @@ class Trainer24P:
         )
         state = self._maybe_resume(state)
 
-        mesh = make_mesh()
+        mesh = make_mesh(spatial=getattr(args, "spatial", 1))
         steps = {}
 
         def get_step(use_l1: bool):

@@ -36,6 +36,10 @@ def make_parser():
     parser.add_argument("--no-prewarm", dest="prewarm", action="store_false",
                         help="skip background AOT compile of the "
                              "multiscale shape buckets")
+    parser.add_argument("--spatial", type=int, default=1,
+                        help="shard image height over this many devices "
+                             "on top of data parallelism (2-D mesh; "
+                             "capability the reference's DDP lacks)")
     parser.add_argument("--multi-host", action="store_true",
                         help="call jax.distributed.initialize() first")
     parser.add_argument("--coordinator", type=str, default=None,

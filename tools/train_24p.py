@@ -35,6 +35,10 @@ def make_parser():
     parser.add_argument("--eval", action="store_true",
                         help="evaluate COCO-24p AP every eval_interval "
                              "epochs (the reference trains blind)")
+    parser.add_argument("--spatial", type=int, default=1,
+                        help="shard image height over this many devices "
+                             "on top of data parallelism (2-D mesh; "
+                             "capability the reference's DDP lacks)")
     parser.add_argument("--multi-host", action="store_true",
                         help="call jax.distributed.initialize() first")
     parser.add_argument("--coordinator", type=str, default=None,
