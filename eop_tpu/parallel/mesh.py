@@ -141,9 +141,22 @@ def make_mesh(
             raise ValueError(
                 f"{devices.size} devices do not split into spatial={spatial}"
             )
-        return Mesh(
-            devices.reshape(-1, spatial), (axis_name, SPACE_AXIS)
-        )
+        grid = devices.reshape(-1, spatial)
+        # shard_batch stitches each process's local batch as the
+        # host-local portion of the global array, which is only the truth
+        # if every (data-row × space) group lives on ONE process — i.e.
+        # the space axis never crosses a host.  Check the actual rows
+        # (not a local-count divisibility proxy) so explicit ``devices=``
+        # orderings are caught too; trivially true single-process.
+        for row in grid:
+            procs = {d.process_index for d in row}
+            if len(procs) > 1:
+                raise ValueError(
+                    f"spatial={spatial}: space group {list(row)} spans "
+                    f"processes {sorted(procs)}; the space axis must not "
+                    "cross hosts (shard_batch contract)"
+                )
+        return Mesh(grid, (axis_name, SPACE_AXIS))
     return Mesh(devices, (axis_name,))
 
 

@@ -195,6 +195,29 @@ def test_spatial_train_step_8dev():
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_make_mesh_rejects_space_group_crossing_hosts():
+    """The space axis must not cross processes (shard_batch stitches each
+    process's local batch as the host-local portion); make_mesh checks
+    the actual reshaped rows, so even an explicit interleaved ``devices=``
+    ordering is caught.  The check runs before Mesh construction, so fake
+    device objects with just a process_index suffice."""
+    from types import SimpleNamespace
+
+    from eop_tpu.parallel import make_mesh
+
+    def dev(proc):
+        return SimpleNamespace(process_index=proc)
+
+    # process-interleaved ordering: every (row x space) pair spans hosts
+    bad = [dev(0), dev(1), dev(0), dev(1)]
+    with pytest.raises(ValueError, match="must not cross hosts"):
+        make_mesh(devices=bad, spatial=2)
+
+    # non-divisible device count still raises the split error
+    with pytest.raises(ValueError, match="do not split"):
+        make_mesh(devices=[dev(0)] * 3, spatial=2)
+
+
 @needs8
 def test_unshard_space_is_noop_without_space_axis():
     from eop_tpu.parallel import make_mesh, trace_mesh, unshard_space
