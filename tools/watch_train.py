@@ -7,6 +7,8 @@ last value, step, trend sparkline per scalar tag.
     python tools/watch_train.py <output_dir>/<exp_name>  [--interval 5]
     python tools/watch_train.py /tmp/eop_out/yolox_s --tags train/,val/
     python tools/watch_train.py <dir> --once        # one snapshot, no loop
+    python tools/watch_train.py <dir> --serve 8888  # live browser dashboard
+                                                    # (eop_tpu/utils/dashboard.py)
 
 Observability the reference lacks: its only live view is the tqdm bar;
 TB streams require a tensorboard server.  This reads the same files the
@@ -71,6 +73,11 @@ def main():
                     help="print one snapshot and exit")
     ap.add_argument("--window", type=int, default=256,
                     help="points kept per tag for the sparkline")
+    ap.add_argument("--serve", type=int, metavar="PORT", default=None,
+                    help="serve a live browser dashboard on this port "
+                         "instead of the terminal table (self-contained "
+                         "HTML: stat tiles, per-tag line charts with "
+                         "crosshair tooltips, table fallback, dark mode)")
     args = ap.parse_args()
 
     prefixes = args.tags.split(",") if args.tags else None
@@ -80,6 +87,13 @@ def main():
             return any(tag.startswith(p) for p in prefixes)
         # default view: drop the 24-wide per-radius/DWA fan-out streams
         return not tag.startswith(("iou_loss/", "dwa_weight/"))
+
+    if args.serve is not None:
+        from eop_tpu.utils.dashboard import serve_dashboard
+
+        serve_dashboard(args.logdir, keep, args.serve, args.interval,
+                        window=args.window)
+        return
 
     offsets = {}
     history = {}
