@@ -47,6 +47,7 @@ class _Pending:
     result: Any = None
     error: Optional[BaseException] = None
     t_enqueue: float = 0.0
+    cost: float = 0.0
 
 
 class DynamicBatcher:
@@ -61,11 +62,19 @@ class DynamicBatcher:
       max_wait_ms: how long the dispatcher holds the first request of a
         batch open for stragglers.
       max_queue: bound on waiting requests beyond the batch in flight.
+      max_queue_cost: optional bound on the summed ``cost`` of admitted
+        but not-yet-completed requests (callers pass ``cost=`` bytes or
+        any other unit).  Count-based bounds alone under-protect when
+        each item holds a large buffer (e.g. a 4K letterbox canvas);
+        this sheds load by memory, not just by depth.  A single request
+        over the bound is still admitted when the batcher is idle, so
+        one oversized item cannot deadlock itself.
     """
 
     def __init__(self, run_batch: Callable[[List[Any]], List[Any]],
                  max_batch: int, max_wait_ms: float = 5.0,
-                 max_queue: int = 256):
+                 max_queue: int = 256,
+                 max_queue_cost: Optional[float] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._run_batch = run_batch
@@ -74,6 +83,8 @@ class DynamicBatcher:
         self._q: "queue.Queue[_Pending]" = queue.Queue(maxsize=max_queue)
         self._closed = False
         self._lock = threading.Lock()
+        self._max_cost = max_queue_cost
+        self._cost_used = 0.0  # under _lock
         # stats (under _lock)
         self._n_requests = 0
         self._n_batches = 0
@@ -87,22 +98,35 @@ class DynamicBatcher:
 
     # ------------------------------------------------------------- client
 
-    def submit(self, item: Any, timeout: Optional[float] = None) -> Any:
+    def submit(self, item: Any, timeout: Optional[float] = None,
+               cost: float = 0.0) -> Any:
         """Block until ``item``'s result is ready and return it.
 
-        Raises ``QueueFullError`` on saturation, ``BatcherClosedError``
-        after ``close()``, ``TimeoutError`` past ``timeout`` seconds, or
+        Raises ``QueueFullError`` on saturation (queue depth or summed
+        ``cost`` over ``max_queue_cost``), ``BatcherClosedError`` after
+        ``close()``, ``TimeoutError`` past ``timeout`` seconds, or
         whatever ``run_batch`` raised for this batch.
         """
-        if self._closed:
-            raise BatcherClosedError("batcher is closed")
-        p = _Pending(item=item, t_enqueue=time.perf_counter())
-        try:
-            self._q.put_nowait(p)
-        except queue.Full:
-            raise QueueFullError(
-                f"request queue at capacity ({self._q.maxsize})"
-            ) from None
+        p = _Pending(item=item, t_enqueue=time.perf_counter(), cost=cost)
+        # closed-check, cost admission and put are one atomic section so
+        # close() (which sets _closed under the same lock before draining)
+        # can never strand a request that raced past the check.
+        with self._lock:
+            if self._closed:
+                raise BatcherClosedError("batcher is closed")
+            if (self._max_cost is not None and self._cost_used > 0
+                    and self._cost_used + cost > self._max_cost):
+                raise QueueFullError(
+                    f"queued request cost at capacity "
+                    f"({self._cost_used:.0f}+{cost:.0f} > {self._max_cost:.0f})"
+                )
+            try:
+                self._q.put_nowait(p)
+            except queue.Full:
+                raise QueueFullError(
+                    f"request queue at capacity ({self._q.maxsize})"
+                ) from None
+            self._cost_used += cost
         if not p.done.wait(timeout):
             # the dispatcher may still complete it; the caller is gone
             raise TimeoutError("request timed out in the batcher")
@@ -126,13 +150,17 @@ class DynamicBatcher:
                 "latency_ms_p50": round(pct(0.50) * 1e3, 2),
                 "latency_ms_p99": round(pct(0.99) * 1e3, 2),
                 "queue_depth": self._q.qsize(),
+                "queue_cost": self._cost_used,
                 "max_batch": self.max_batch,
                 "max_wait_ms": self.max_wait * 1e3,
             }
 
     def close(self, timeout: float = 5.0) -> None:
         """Stop accepting work, fail queued requests, join the thread."""
-        self._closed = True
+        with self._lock:
+            # after this, submit() cannot admit anything (same lock), so
+            # the drain below sees every request that will ever exist
+            self._closed = True
         self._thread.join(timeout)
         while True:
             try:
@@ -182,6 +210,7 @@ class DynamicBatcher:
                     p.error = e
             now = time.perf_counter()
             with self._lock:
+                self._cost_used -= sum(p.cost for p in batch)
                 self._n_requests += len(batch)
                 self._n_batches += 1
                 self._n_batched_items += len(batch)

@@ -30,6 +30,37 @@ import numpy as np
 from .batcher import BatcherClosedError, QueueFullError
 
 MAX_BODY_BYTES = 32 * 1024 * 1024
+# cap on DECODED pixels: the body cap does not bound the decoded
+# allocation (a ~1 MB PNG can declare 50000x50000 = ~7.5 GB of BGR), so
+# dims are read from the container header and checked BEFORE imdecode
+MAX_PIXELS = 64 * 1024 * 1024  # 64 MP ≈ 192 MB decoded
+
+
+def _declared_dims(buf: bytes):
+    """(h, w) declared by a JPEG/PNG/BMP header, or None if not parseable.
+    Pure header reads — nothing is decoded."""
+    if buf[:8] == b"\x89PNG\r\n\x1a\n" and len(buf) >= 24:
+        return (int.from_bytes(buf[20:24], "big"),
+                int.from_bytes(buf[16:20], "big"))
+    if buf[:2] == b"BM" and len(buf) >= 26:
+        return (abs(int.from_bytes(buf[22:26], "little", signed=True)),
+                int.from_bytes(buf[18:22], "little", signed=True))
+    if buf[:2] == b"\xff\xd8":  # JPEG: find the first SOF segment
+        i = 2
+        while i + 9 < len(buf):
+            if buf[i] != 0xFF:
+                i += 1
+                continue
+            marker = buf[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(buf[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (int.from_bytes(buf[i + 5:i + 7], "big"),
+                        int.from_bytes(buf[i + 7:i + 9], "big"))
+            i += 2 + seg_len
+    return None
 
 
 def make_http_server(service, host: str = "0.0.0.0", port: int = 8000,
@@ -63,7 +94,11 @@ def make_http_server(service, host: str = "0.0.0.0", port: int = 8000,
             if self.path != "/v1/detect":
                 self._send_json(404, {"error": "not found"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send_json(400, {"error": "malformed Content-Length"})
+                return
             if not 0 < length <= max_body:
                 self._send_json(
                     413 if length > max_body else 400,
@@ -86,6 +121,21 @@ def make_http_server(service, host: str = "0.0.0.0", port: int = 8000,
                     })
                     return
             else:
+                # reject decompression bombs BEFORE decoding: the body cap
+                # does not bound the decoded allocation
+                dims = _declared_dims(raw)
+                if dims is None:
+                    self._send_json(400, {
+                        "error": "unsupported or corrupt image format "
+                                 "(JPEG/PNG/BMP, or raw + X-Raw-Shape)",
+                    })
+                    return
+                if dims[0] * dims[1] > MAX_PIXELS:
+                    self._send_json(413, {
+                        "error": f"image {dims[0]}x{dims[1]} exceeds "
+                                 f"{MAX_PIXELS} decoded pixels",
+                    })
+                    return
                 img = cv2.imdecode(np.frombuffer(raw, np.uint8),
                                    cv2.IMREAD_COLOR)
                 if img is None:

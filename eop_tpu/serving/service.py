@@ -30,7 +30,11 @@ import numpy as np
 
 from .batcher import DynamicBatcher
 
-PAD_VALUE = 114
+# the one letterbox pad convention, shared with the device-side letterbox
+# (data/transforms.py) and the training preproc (data/augment.py)
+from ..data.transforms import PAD_VALUE as _PAD_F
+
+PAD_VALUE = int(_PAD_F)
 
 
 def _host_letterbox(img: np.ndarray, src_hw: Tuple[int, int]):
@@ -71,6 +75,7 @@ class DetectionService:
                  test_size: Tuple[int, int],
                  class_names: Optional[Sequence[str]] = None,
                  max_wait_ms: float = 5.0, max_queue: int = 256,
+                 max_queue_bytes: Optional[int] = 1 << 30,
                  warmup: bool = True,
                  buckets: Optional[Sequence[int]] = None):
         self._serve_fn = serve_fn
@@ -103,9 +108,14 @@ class DetectionService:
                 self._device_call(
                     np.zeros((b, *self.src_hw, 3), np.uint8)
                 )
+        # each queued request pins a full src_hw canvas on the host, so
+        # the queue must be bounded in BYTES too (256 queued 4K canvases
+        # are ~6.4 GB — a count bound alone under-protects); default 1 GiB
+        self._canvas_bytes = int(np.prod(self.src_hw)) * 3
         self._batcher = DynamicBatcher(
             self._run_batch, max_batch=self.batch,
             max_wait_ms=max_wait_ms, max_queue=max_queue,
+            max_queue_cost=max_queue_bytes,
         )
 
     # ------------------------------------------------------- constructors
@@ -124,17 +134,30 @@ class DetectionService:
                    class_names=class_names, **kw)
 
     @classmethod
-    def from_artifact(cls, path: str, test_size: Tuple[int, int],
+    def from_artifact(cls, path: str,
+                      test_size: Optional[Tuple[int, int]] = None,
                       class_names=None, **kw) -> "DetectionService":
         """Serve a StableHLO blob — no model code or checkpoint needed.
         Batch and ``src_hw`` come from the artifact's input spec;
-        ``test_size`` is the model input size it was exported with.
-        The artifact carries ONE compiled shape, so every dispatch pads
-        to its full batch (no bucketing — export several artifacts and
-        run several services if partial-batch waste matters)."""
+        ``test_size`` and class names come from the artifact's metadata
+        (a hand-supplied wrong test_size would silently mis-scale every
+        coordinate, so the export bakes it in — pass it explicitly only
+        for pre-metadata blobs).  The artifact carries ONE compiled
+        shape, so every dispatch pads to its full batch (no bucketing —
+        export several artifacts and run several services if
+        partial-batch waste matters)."""
         from ..utils.serving_export import load_serving_artifact
 
-        exported = load_serving_artifact(path)
+        exported, meta = load_serving_artifact(path, with_meta=True)
+        if test_size is None:
+            if "test_size" not in meta:
+                raise ValueError(
+                    f"{path} carries no test_size metadata (pre-metadata "
+                    "blob?) — pass test_size= explicitly"
+                )
+            test_size = tuple(meta["test_size"])
+        if class_names is None:
+            class_names = meta.get("class_names")
         (aval,) = exported.in_avals
         b, h, w, _ = aval.shape
         return cls(exported.call, b, (h, w), test_size,
@@ -153,7 +176,8 @@ class DetectionService:
                 f"{img.dtype}{list(img.shape)}"
             )
         return self._batcher.submit(_host_letterbox(img, self.src_hw),
-                                    timeout=timeout)
+                                    timeout=timeout,
+                                    cost=self._canvas_bytes)
 
     def stats(self) -> dict:
         s = self._batcher.stats()

@@ -63,13 +63,85 @@ def export_serving(
     return jax_export.export(serve_portable, **kwargs)(spec)
 
 
-def save_serving_artifact(exported, path: str) -> int:
-    """Serialize an ``Exported`` to ``path``; returns the byte size."""
+def calibration_batch(calib_dir: Optional[str], src_hw: Tuple[int, int],
+                      test_size: Tuple[int, int], n_max: int = 32):
+    """One calibration batch for int8 PTQ, preprocessed exactly as the
+    serving path preprocesses real traffic: aspect-preserving letterbox
+    onto the ``src_hw`` canvas on the host (pad 114 — NOT a stretch
+    resize, which would distort aspect and fit activation scales to a
+    padless distribution), then the device letterbox to ``test_size``.
+    Falls back to uniform noise (with a warning) when ``calib_dir`` has
+    no images — smoke use only."""
+    import glob
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.transforms import letterbox_batch_device
+    from ..serving.service import _host_letterbox
+
+    raws = []
+    if calib_dir:
+        paths = sorted(
+            p for p in glob.glob(os.path.join(calib_dir, "*"))
+            if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+        )[:n_max]
+        import cv2
+
+        for path in paths:
+            img = cv2.imread(path)
+            if img is not None:
+                raws.append(_host_letterbox(img, src_hw)[0])
+    if not raws:
+        print("WARNING: no calibration images — calibrating on uniform "
+              "noise; accuracy of the int8 program is unvalidated")
+        raw = np.random.RandomState(0).randint(
+            0, 255, (8, src_hw[0], src_hw[1], 3), np.uint8
+        )
+    else:
+        raw = np.stack(raws)
+    letterboxed, _ = letterbox_batch_device(
+        jnp.asarray(raw, jnp.float32), src_hw, test_size
+    )
+    return letterboxed
+
+
+# artifact container: magic + 4-byte big-endian JSON length + JSON
+# metadata + the StableHLO blob.  Metadata travels WITH the program so
+# the serving site never has to hand-supply values (test_size!) whose
+# mismatch would silently mis-scale every returned coordinate.
+_MAGIC = b"EOPSRV1\n"
+
+
+def save_serving_artifact(exported, path: str, meta: Optional[dict] = None) -> int:
+    """Serialize an ``Exported`` (+ JSON ``meta``) to ``path``; returns
+    the total byte size.  ``meta`` should carry at least ``test_size``
+    (the model input the program letterboxes to — the serving site needs
+    it to undo that ratio)."""
+    import json
+
     blob = exported.serialize()
-    Path(path).write_bytes(blob)
-    return len(blob)
+    head = json.dumps(meta or {}).encode()
+    data = _MAGIC + len(head).to_bytes(4, "big") + head + blob
+    Path(path).write_bytes(data)
+    return len(data)
 
 
-def load_serving_artifact(path: str):
-    """Deserialize a saved artifact.  ``.call(raw_uint8)`` runs it."""
-    return jax_export.deserialize(Path(path).read_bytes())
+def load_serving_artifact(path: str, with_meta: bool = False):
+    """Deserialize a saved artifact.  ``.call(raw_uint8)`` runs it.
+
+    ``with_meta=True`` returns ``(exported, meta_dict)``; headerless
+    blobs from before the container format load with ``meta == {}``.
+    """
+    import json
+
+    data = Path(path).read_bytes()
+    meta = {}
+    if data[: len(_MAGIC)] == _MAGIC:
+        n = int.from_bytes(data[len(_MAGIC): len(_MAGIC) + 4], "big")
+        body = len(_MAGIC) + 4
+        meta = json.loads(data[body: body + n])
+        data = data[body + n:]
+    exported = jax_export.deserialize(data)
+    return (exported, meta) if with_meta else exported

@@ -104,6 +104,58 @@ def test_batcher_queue_full_and_close():
         b.submit(1)
 
 
+def test_batcher_cost_backpressure():
+    """Byte-cost admission: the summed cost of admitted-but-unfinished
+    requests is bounded; a single oversized request is still admitted
+    when nothing is queued (no self-deadlock)."""
+    release = threading.Event()
+
+    def run(items):
+        release.wait(5)
+        return items
+
+    b = DynamicBatcher(run, max_batch=1, max_wait_ms=1, max_queue=64,
+                       max_queue_cost=100)
+    ts = [threading.Thread(target=lambda: b.submit(0, cost=60))
+          for _ in range(2)]
+    for t in ts:
+        t.start()
+    time.sleep(0.3)
+    with pytest.raises(QueueFullError):
+        b.submit(1, cost=60)          # 120 admitted > 100
+    release.set()
+    for t in ts:
+        t.join()
+    # drained: a single over-bound request is admitted when idle
+    for _ in range(50):
+        if b.stats()["queue_cost"] == 0:
+            break
+        time.sleep(0.02)
+    assert b.submit(2, cost=500) == 2
+    b.close()
+
+
+def test_declared_dims_and_bomb_rejection():
+    """Header-sniffed dimensions match cv2's for all accepted formats,
+    and a bomb-sized PNG header is rejected before any decode."""
+    import cv2
+
+    from eop_tpu.serving.http import MAX_PIXELS, _declared_dims
+
+    img = np.random.RandomState(0).randint(0, 255, (37, 53, 3), np.uint8)
+    for ext in (".jpg", ".png", ".bmp"):
+        buf = cv2.imencode(ext, img)[1].tobytes()
+        assert _declared_dims(buf) == (37, 53), ext
+    assert _declared_dims(b"GIF89a" + b"\0" * 64) is None
+
+    # forge a PNG IHDR declaring 50000x50000 (~7.5 GB decoded)
+    big = bytearray(cv2.imencode(".png", img)[1].tobytes())
+    big[16:20] = (50000).to_bytes(4, "big")
+    big[20:24] = (50000).to_bytes(4, "big")
+    h, w = _declared_dims(bytes(big))
+    assert h * w > MAX_PIXELS
+
+
 # --------------------------------------------------------------- service
 
 from eop_tpu.exp import Exp
@@ -231,10 +283,11 @@ def test_service_from_artifact(tmp_path, svc_24p):
         export_serving(exp, model, variables, 2, svc.src_hw,
                        platforms=("cpu",)),
         path,
+        meta={"test_size": list(exp.test_size)},
     )
-    art_svc = DetectionService.from_artifact(
-        path, exp.test_size, max_wait_ms=1.0
-    )
+    # no hand-supplied test_size: it comes from the artifact's metadata
+    art_svc = DetectionService.from_artifact(path, max_wait_ms=1.0)
+    assert art_svc.test_size == tuple(exp.test_size)
     # the artifact carries ONE shape (batch 2, buckets=[2]); compare
     # against a live service pinned to the same bucket so both sides run
     # the identical compiled shape
@@ -324,6 +377,26 @@ def test_http_detect_stats_health(http_server):
     with urllib.request.urlopen(base + "/v1/stats", timeout=10) as r:
         stats = json.loads(r.read())
     assert stats["requests"] >= 1 and stats["batches"] >= 1
+
+    # decompression bomb: a small body whose PNG header declares a huge
+    # decode is 413'd BEFORE cv2.imdecode allocates anything
+    bomb = bytearray(png)
+    bomb[16:20] = (50000).to_bytes(4, "big")
+    bomb[20:24] = (50000).to_bytes(4, "big")
+    code, payload = _post(base + "/v1/detect", bytes(bomb))
+    assert code == 413, payload
+
+    # malformed Content-Length: a clean 400, not a dropped connection
+    import http.client
+
+    host = base.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host, timeout=10)
+    conn.putrequest("POST", "/v1/detect", skip_accept_encoding=True)
+    conn.putheader("Content-Length", "abc")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
 
 
 def test_http_concurrent_requests_batch_together(http_server):

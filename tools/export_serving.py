@@ -8,11 +8,16 @@ load and run without this repo's model code:
         -w runs/yolox_24p/best_ckpt --batch 8 --src-hw 720,1280 \
         --out serving_24p.stablehlo [--platforms tpu,cpu] [--smoke]
 
-Load side (anywhere):
+Load side (anywhere with jax; the artifact is a small JSON-metadata
+header — test_size etc. — followed by the StableHLO blob):
 
-    from jax import export
-    exported = export.deserialize(open("serving_24p.stablehlo","rb").read())
+    from eop_tpu.utils.serving_export import load_serving_artifact
+    exported, meta = load_serving_artifact("serving_24p.stablehlo",
+                                           with_meta=True)
     out = exported.call(raw_uint8)   # {"rows": [B,max_det,D], "valid": [B,max_det]}
+
+(or strip the header by hand — magic b"EOPSRV1\\n" + 4-byte BE length +
+JSON — and ``jax.export.deserialize`` the rest; no framework needed.)
 """
 
 from __future__ import annotations
@@ -52,41 +57,6 @@ def make_parser():
     return p
 
 
-def _calib_batch(calib_dir, src_hw, exp, n_max=32):
-    """One letterboxed calibration batch, preprocessed exactly as the
-    serving program will see its inputs."""
-    import glob
-
-    import cv2
-    import jax.numpy as jnp
-    import numpy as np
-
-    from eop_tpu.data.transforms import letterbox_batch_device
-
-    raws = []
-    if calib_dir:
-        paths = sorted(
-            p for p in glob.glob(os.path.join(calib_dir, "*"))
-            if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
-        )[:n_max]
-        for path in paths:
-            img = cv2.imread(path)
-            if img is not None:
-                raws.append(cv2.resize(img, (src_hw[1], src_hw[0])))
-    if not raws:
-        print("WARNING: no --calib images — calibrating on uniform noise; "
-              "accuracy of the exported int8 program is unvalidated")
-        raw = np.random.RandomState(0).randint(
-            0, 255, (8, src_hw[0], src_hw[1], 3), np.uint8
-        )
-    else:
-        raw = np.stack(raws)
-    letterboxed, _ = letterbox_batch_device(
-        jnp.asarray(raw, jnp.float32), src_hw, exp.test_size
-    )
-    return letterboxed
-
-
 def main():
     args = make_parser().parse_args()
     import jax
@@ -96,6 +66,7 @@ def main():
     from eop_tpu.exp import get_exp
     from eop_tpu.models import init_model
     from eop_tpu.utils.serving_export import (
+        calibration_batch,
         export_serving,
         load_serving_artifact,
         save_serving_artifact,
@@ -122,7 +93,7 @@ def main():
     platforms = args.platforms.split(",") if args.platforms else None
     quant_scales = None
     if args.int8:
-        calib = _calib_batch(args.calib, src_hw, exp)
+        calib = calibration_batch(args.calib, src_hw, exp.test_size)
         variables, quant_scales = exp.quantize_for_inference(
             model, variables, [calib], args.quant_min_channels
         )
@@ -133,7 +104,17 @@ def main():
         quant_scales=quant_scales,
         quant_min_channels=args.quant_min_channels,
     )
-    size = save_serving_artifact(exported, args.out)
+    # metadata travels with the blob: the serving site must never have to
+    # hand-supply test_size (a wrong value silently mis-scales every
+    # returned coordinate — DetectionService.from_artifact reads it back)
+    meta = {
+        "test_size": list(exp.test_size),
+        "src_hw": list(src_hw),
+        "batch": args.batch,
+        "num_classes": exp.num_classes,
+        "int8": bool(args.int8),
+    }
+    size = save_serving_artifact(exported, args.out, meta=meta)
     print(
         f"exported {args.out}: {size / 1e6:.1f} MB, "
         f"platforms={exported.platforms}, "

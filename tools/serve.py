@@ -13,8 +13,8 @@ From an exp + checkpoint:
 From a portable StableHLO artifact (no model code / checkpoint needed
 beyond the blob — tools/export_serving.py):
 
-    python tools/serve.py --artifact serving.stablehlo --test-size 640,640 \
-        --port 8000
+    python tools/serve.py --artifact serving.stablehlo --port 8000
+    # (test_size/batch/src_hw come from the artifact's metadata)
 
 Client:
 
@@ -44,8 +44,9 @@ def make_parser():
                    help="StableHLO blob from tools/export_serving.py "
                         "(replaces -f/-w)")
     p.add_argument("--test-size", type=str, default=None,
-                   help="model input H,W the artifact was exported with "
-                        "(required with --artifact)")
+                   help="model input H,W for a pre-metadata artifact "
+                        "(newer artifacts carry it; a mismatch would "
+                        "silently mis-scale coordinates)")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--src-hw", type=str, default=None,
                    help="H,W of the serving canvas (default: test_size); "
@@ -64,13 +65,26 @@ def make_parser():
     return p
 
 
+def _parse_hw(text: str):
+    parts = tuple(int(v) for v in text.split(","))
+    if len(parts) != 2:
+        raise SystemExit(f"expected H,W (two comma-separated ints), "
+                         f"got {text!r}")
+    return parts
+
+
 def build_service(args):
     from eop_tpu.serving import DetectionService
 
     if args.artifact:
-        if not args.test_size:
-            raise SystemExit("--artifact requires --test-size H,W")
-        ts = tuple(int(v) for v in args.test_size.split(","))
+        # the blob's input spec fixes these — a silently ignored flag
+        # would make the operator believe they changed something
+        for flag, default in (("--batch", 16), ("--src-hw", None)):
+            name = flag.lstrip("-").replace("-", "_")
+            if getattr(args, name) != default:
+                raise SystemExit(f"{flag} is baked into the artifact; "
+                                 "re-export to change it")
+        ts = _parse_hw(args.test_size) if args.test_size else None
         return DetectionService.from_artifact(
             args.artifact, ts, max_wait_ms=args.max_wait_ms,
             max_queue=args.max_queue,
@@ -102,13 +116,13 @@ def build_service(args):
     else:
         print("WARNING: serving RANDOM weights (no -w) — smoke use only")
 
-    src_hw = (tuple(int(v) for v in args.src_hw.split(","))
+    src_hw = (_parse_hw(args.src_hw)
               if args.src_hw else tuple(exp.test_size))
     quant_scales = None
     if args.int8:
-        from export_serving import _calib_batch  # same tools/ dir
+        from eop_tpu.utils.serving_export import calibration_batch
 
-        calib = _calib_batch(args.calib, src_hw, exp)
+        calib = calibration_batch(args.calib, src_hw, exp.test_size)
         variables, quant_scales = exp.quantize_for_inference(
             model, variables, [calib], args.quant_min_channels
         )
