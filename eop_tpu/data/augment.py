@@ -51,6 +51,13 @@ def augment_hsv(img, rng: np.random.Generator, hgain=5, sgain=30, vgain=30):
     Each channel independently gets a 50% chance of a uniform offset in
     ±gain (hue wraps mod 180, sat/val saturate), applied through lookup
     tables on the uint8 HSV planes.
+
+    Documented divergence from the reference (`data_augment.py:21-34`):
+    when all three deltas truncate to zero (~17% of calls) this returns
+    the image untouched, while the reference still runs the lossy uint8
+    BGR→HSV→BGR round-trip and so stamps hue-quantization noise onto a
+    no-op jitter.  Skipping is both faster and strictly less lossy; the
+    nonzero-delta outputs are byte-identical to the reference's.
     """
     deltas = (
         rng.uniform(-1.0, 1.0, 3) * (hgain, sgain, vgain)

@@ -152,8 +152,15 @@ class MosaicDetection(Dataset):
         ratio = jit * min(input_dim[0] / donor.shape[0],
                           input_dim[1] / donor.shape[1])
         fh, fw = int(input_dim[0] * jit), int(input_dim[1] * jit)
-        channels = (donor.shape[2],) if donor.ndim == 3 else ()
-        frame = np.full((fh, fw, *channels), _PAD_VALUE, dtype=np.uint8)
+        # 3-channel only: the crop stage and the uint16 blend below are
+        # written for HWC-3 (a 2-D grayscale donor would fail at both) —
+        # fail here, at the obvious place, instead
+        if donor.ndim != 3:
+            raise ValueError(
+                f"mixup donor must be HWC (3-channel), got shape "
+                f"{donor.shape}"
+            )
+        frame = np.full((fh, fw, donor.shape[2]), _PAD_VALUE, dtype=np.uint8)
         scaled = cv2.resize(
             donor,
             (int(donor.shape[1] * ratio), int(donor.shape[0] * ratio)),

@@ -64,14 +64,37 @@ def _select_rows(cand, keep, max_det):
     Cumsum-scatter compaction instead of an argsort: sorts lower to a full
     per-row sort on TPU, the scatter is O(K).
     """
-    k = keep.shape[0]
-    m = min(max_det, k)
+    # always allocate the documented max_det capacity: with fewer
+    # candidates than max_det the tail is simply invalid padding; with
+    # more, the lowest-scored surplus keeps drop via the scatter clip —
+    # never a silently smaller output shape
+    m = max_det
     dest = jnp.where(keep, jnp.cumsum(keep) - 1, m)  # drop slot for ~keep
     out = jnp.zeros((m, cand.shape[-1]), cand.dtype)
     out = out.at[jnp.clip(dest, 0, m)].set(cand, mode="drop")
     n_kept = jnp.sum(keep)
     valid = jnp.arange(m) < jnp.minimum(n_kept, m)
     return out, valid
+
+
+def _nms_and_pack(geom, boxes, top_scores, c_obj, c_cls_conf, c_cls_id,
+                  conf_thre, nms_thre, class_agnostic, fixpoint_iters,
+                  max_det):
+    """Shared tail of every postprocess variant: candidate NMS, row
+    assembly ``[geom | obj | cls_conf | cls_id]``, score-order compaction.
+    One copy so a row-layout or NMS-argument change cannot skew the four
+    entry points apart."""
+    keep = nms_on_candidates(
+        boxes, top_scores >= conf_thre, nms_thre,
+        class_ids=None if class_agnostic else c_cls_id,
+        fixpoint_iters=fixpoint_iters,
+    )
+    rows = jnp.concatenate(
+        [geom, c_obj[:, None], c_cls_conf[:, None],
+         c_cls_id.astype(geom.dtype)[:, None]],
+        axis=1,
+    )
+    return _select_rows(rows, keep, max_det)
 
 
 def postprocess_bbox(
@@ -98,20 +121,12 @@ def postprocess_bbox(
         )
         cand = pred[order]  # one row gather (see postprocess_24p note)
         boxes = cxcywh2xyxy(cand[:, :4])
-        c_obj = cand[:, 4]
-        c_cls_conf = jnp.take(cls_conf, order)
-        c_cls_id = jnp.take(cls_id, order)
-        keep = nms_on_candidates(
-            boxes, top_scores >= conf_thre, nms_thre,
-            class_ids=None if class_agnostic else c_cls_id,
-            fixpoint_iters=nms_fixpoint_iters,
+        return _nms_and_pack(
+            boxes, boxes, top_scores, cand[:, 4],
+            jnp.take(cls_conf, order), jnp.take(cls_id, order),
+            conf_thre, nms_thre, class_agnostic, nms_fixpoint_iters,
+            max_detections,
         )
-        rows = jnp.concatenate(
-            [boxes, c_obj[:, None], c_cls_conf[:, None],
-             c_cls_id.astype(pred.dtype)[:, None]],
-            axis=1,
-        )
-        return _select_rows(rows, keep, max_detections)
 
     rows, valid = jax.vmap(per_image)(decoded)
     return Detections(rows=rows, valid=valid)
@@ -122,16 +137,21 @@ def _decoded_candidates(flat, grids, strides_flat, reg_dim: int,
     """Score -> top-k -> gather -> decode for ONE image's raw flattened
     head output ``flat [A, reg_dim+1+C]`` (model dtype).
 
-    Bitwise identical to decoding the full lattice first: scores are
-    computed in fp32 from the same (upcast) logits — sigmoid is monotonic
-    so cls argmax/max commute with it — and the grid decode is elementwise
-    per anchor, so gathering raw rows then decoding equals decoding then
-    gathering.
+    Bitwise identical to decoding the full lattice first (i.e. the
+    ``postprocess_*(decoded)`` entry points fed fp32-decoded outputs):
+    scores are computed in fp32 from the same (upcast) logits — sigmoid
+    is monotone non-decreasing, so ``max`` commutes with it exactly even
+    where fp32 sigmoid collapses neighboring logits — and the grid decode
+    is elementwise per anchor, so gathering raw rows then decoding equals
+    decoding then gathering.  ``argmax`` does NOT commute through those
+    collapses (the decoded path would tie-break to the earlier class), so
+    the argmax must run on the sigmoided values, not the raw logits.
     """
     logits = flat[:, reg_dim:].astype(jnp.float32)
     obj = jax.nn.sigmoid(logits[:, 0])
-    cls_conf = jax.nn.sigmoid(jnp.max(logits[:, 1:1 + num_classes], axis=1))
-    cls_id = jnp.argmax(logits[:, 1:1 + num_classes], axis=1)
+    cls_probs = jax.nn.sigmoid(logits[:, 1:1 + num_classes])
+    cls_conf = jnp.max(cls_probs, axis=1)
+    cls_id = jnp.argmax(cls_probs, axis=1)
     top_scores, order = jax.lax.top_k(obj * cls_conf, min(k, flat.shape[0]))
     cand = flat[order].astype(jnp.float32)  # ONE row gather in model dtype
     s = strides_flat[order][:, None]
@@ -172,17 +192,11 @@ def postprocess_bbox_heads(
             _decoded_candidates(fl, grids, strides_flat, 4, num_classes,
                                 nms_candidates)
         boxes = cxcywh2xyxy(jnp.concatenate([xy, wh], axis=-1))
-        keep = nms_on_candidates(
-            boxes, top_scores >= conf_thre, nms_thre,
-            class_ids=None if class_agnostic else c_cls_id,
-            fixpoint_iters=nms_fixpoint_iters,
+        return _nms_and_pack(
+            boxes, boxes, top_scores, c_obj, c_cls_conf, c_cls_id,
+            conf_thre, nms_thre, class_agnostic, nms_fixpoint_iters,
+            max_detections,
         )
-        rows = jnp.concatenate(
-            [boxes, c_obj[:, None], c_cls_conf[:, None],
-             c_cls_id.astype(boxes.dtype)[:, None]],
-            axis=1,
-        )
-        return _select_rows(rows, keep, max_detections)
 
     rows, valid = jax.vmap(per_image)(flat)
     return Detections(rows=rows, valid=valid)
@@ -212,17 +226,12 @@ def postprocess_24p_heads(
         boxes = jnp.concatenate(
             [jnp.min(pts, axis=1), jnp.max(pts, axis=1)], axis=-1
         )
-        keep = nms_on_candidates(
-            boxes, top_scores >= conf_thre, nms_thre,
-            class_ids=None if class_agnostic else c_cls_id,
-            fixpoint_iters=nms_fixpoint_iters,
+        return _nms_and_pack(
+            jnp.concatenate([centers, radii], axis=1), boxes, top_scores,
+            c_obj, c_cls_conf, c_cls_id,
+            conf_thre, nms_thre, class_agnostic, nms_fixpoint_iters,
+            max_detections,
         )
-        rows = jnp.concatenate(
-            [centers, radii, c_obj[:, None], c_cls_conf[:, None],
-             c_cls_id.astype(centers.dtype)[:, None]],
-            axis=1,
-        )
-        return _select_rows(rows, keep, max_detections)
 
     rows, valid = jax.vmap(per_image)(flat)
     return Detections(rows=rows, valid=valid)
@@ -266,17 +275,12 @@ def postprocess_24p(
         boxes = jnp.concatenate(
             [jnp.min(pts, axis=1), jnp.max(pts, axis=1)], axis=-1
         )  # [K, 4] xyxy enclosing rect
-        keep = nms_on_candidates(
-            boxes, top_scores >= conf_thre, nms_thre,
-            class_ids=None if class_agnostic else c_cls_id,
-            fixpoint_iters=nms_fixpoint_iters,
+        return _nms_and_pack(
+            jnp.concatenate([centers, radii], axis=1), boxes, top_scores,
+            c_obj, c_cls_conf, c_cls_id,
+            conf_thre, nms_thre, class_agnostic, nms_fixpoint_iters,
+            max_detections,
         )
-        rows = jnp.concatenate(
-            [centers, radii, c_obj[:, None], c_cls_conf[:, None],
-             c_cls_id.astype(pred.dtype)[:, None]],
-            axis=1,
-        )
-        return _select_rows(rows, keep, max_detections)
 
     rows, valid = jax.vmap(per_image)(decoded)
     return Detections(rows=rows, valid=valid)

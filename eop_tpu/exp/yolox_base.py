@@ -219,8 +219,11 @@ class Exp(BaseExp):
             self.random_size = (min_size, max_size)
         rng = random.Random(((self.seed or 0) * 1_000_003) ^ step)
         size = rng.randint(*self.random_size)
-        size = (int(32 * size), int(32 * size))
-        return size
+        # the reference preserves the exp's aspect ratio (size_factor =
+        # W/H, `random_resize:169-177`) — a square draw would aspect-
+        # distort every multiscale batch of a non-square input_size
+        size_factor = self.input_size[1] / self.input_size[0]
+        return (int(32 * size), 32 * int(size * size_factor))
 
     def preprocess(self, inputs, targets, tsize):
         """Multiscale on-device resize + target rescale

@@ -25,10 +25,6 @@ import jax.numpy as jnp
 
 from .boxes import bboxes_iou
 
-# Reference fixed budget for the NMS recurrence when a static schedule is
-# required (see `_suppress`; the default is the exact adaptive loop).
-FIXPOINT_ITERS = 16
-
 
 def _suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float,
               same_class: jnp.ndarray | None = None,
@@ -150,8 +146,9 @@ def nms(
         (``>=`` keeps, matching the reference's ``obj*cls >= conf_thre``,
         `yolox/utils/boxes.py:52`).
       max_candidates: top-K pre-selection (defaults to N).
-      fixpoint_iters: suppression-recurrence budget (default: scaled, see
-        `_suppress`).
+      fixpoint_iters: suppression-recurrence schedule; the default (None)
+        is the exact adaptive loop — greedy-exact at any chain depth (see
+        `_suppress`).  Pass an int only to force a fixed budget.
 
     Returns:
       (keep_mask [K], order [K]) — ``order`` indexes into the original N,

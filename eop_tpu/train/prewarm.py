@@ -29,13 +29,16 @@ import jax.numpy as jnp
 
 
 def multiscale_buckets(exp) -> list:
-    """Every (h, w) the exp's random_resize can draw, ascending."""
+    """Every (h, w) the exp's random_resize can draw, ascending — the same
+    aspect-preserving formula as `Exp.random_resize` (size_factor = W/H),
+    so the prewarmed shapes are exactly the dispatched shapes."""
     if getattr(exp, "random_size", None) is not None:
         lo, hi = exp.random_size
     else:
         base = int(exp.input_size[0] / 32)
         lo, hi = base - exp.multiscale_range, base + exp.multiscale_range
-    return [(32 * s, 32 * s) for s in range(lo, hi + 1)]
+    size_factor = exp.input_size[1] / exp.input_size[0]
+    return [(32 * s, 32 * int(s * size_factor)) for s in range(lo, hi + 1)]
 
 
 class BucketClaims:

@@ -211,6 +211,16 @@ class Trainer:
             logger.info("--->Add additional L1 loss now!")
             self.use_l1 = True
             exp.eval_interval = 1
+            # use_l1 is structural: _get_step now returns a brand-new
+            # jitted program whose multiscale buckets are all uncompiled
+            # (multiscale draws continue through the no-aug tail), so the
+            # background prewarm must run again for it — otherwise every
+            # bucket stalls the main thread on a synchronous XLA compile,
+            # the exact failure prewarm.py exists to prevent.
+            if self._prewarm_thread is not None:
+                self._prewarm_thread.stop_event.set()
+            self._prewarm_started = False
+            self._seen_buckets = {tuple(self.input_size)}
             if not self.no_aug:
                 self.save_ckpt(ckpt_name="last_mosaic_epoch")
         # persistent iterator: the sampler is infinite and re-creating it

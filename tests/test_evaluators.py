@@ -201,9 +201,11 @@ def test_serving_fn_fused_preproc():
                                          dtype=np.uint8)
     )
     dets = jax.device_get(serve(raw))
-    # capacity = min(max_detections, anchor count): 84 anchors at 64px
-    assert dets.rows.shape == (2, 84, 7)
-    assert dets.valid.shape == (2, 84)
+    # output capacity is always the documented max_detections default
+    # (300); the 84 anchors at 64px just bound how many can be valid
+    assert dets.rows.shape == (2, 300, 7)
+    assert dets.valid.shape == (2, 300)
+    assert int(np.asarray(dets.valid).sum(axis=1).max()) <= 84
 
 
 def test_coco_evaluator_fwd_nms_timing_split(coco_val_dir):

@@ -96,3 +96,37 @@ def test_nms_default_is_exact():
     keep = _suppress(jnp.asarray(iou), jnp.ones((k,), bool), 0.5)
     expected = np.arange(k) % 2 == 0
     np.testing.assert_array_equal(np.asarray(keep), expected)
+
+
+def test_heads_argmax_matches_decoded_on_sigmoid_ties():
+    """fp32 sigmoid collapses neighboring logits (sigmoid' <= 0.25), so an
+    argmax over raw logits could pick a different class than the decoded
+    path's argmax over sigmoided values; the heads path must tie-break
+    identically (over the sigmoided values)."""
+    a = np.float32(8.0)
+    b = np.nextafter(a, np.float32(9.0), dtype=np.float32)  # a < b
+    # premise: fp32 sigmoid collapses the pair
+    sa = 1.0 / (1.0 + np.exp(-a, dtype=np.float32))
+    sb = 1.0 / (1.0 + np.exp(-b, dtype=np.float32))
+    assert np.float32(sa) == np.float32(sb) and a < b
+
+    nc = 2
+    row = np.zeros((1, 1, 1, 4 + 1 + nc), np.float32)
+    row[..., 2:4] = 1.0     # nonzero box size
+    row[..., 4] = 5.0       # obj logit
+    row[..., 5] = a         # class 0: smaller logit...
+    row[..., 6] = b         # ...class 1 larger, but equal after sigmoid
+    head_outs = [jnp.asarray(row)]
+
+    decoded = inference_outputs(head_outs, strides=(8,), reg_dim=4,
+                                out_dtype=jnp.float32)
+    ref = jax.device_get(postprocess_bbox(
+        decoded, nc, conf_thre=0.5, max_detections=4, nms_candidates=1))
+    got = jax.device_get(postprocess_bbox_heads(
+        head_outs, nc, conf_thre=0.5, max_detections=4, nms_candidates=1,
+        strides=(8,)))
+    assert np.asarray(ref.valid).sum() == 1
+    np.testing.assert_array_equal(np.asarray(ref.rows),
+                                  np.asarray(got.rows))
+    # the decoded path tie-breaks to the FIRST equal class
+    assert int(np.asarray(ref.rows)[0, 0, -1]) == 0

@@ -93,7 +93,13 @@ def test_batcher_queue_full_and_close():
     ts = [threading.Thread(target=lambda: b.submit(0)) for _ in range(3)]
     for t in ts:
         t.start()
-    time.sleep(0.3)  # dispatcher holds one batch; queue fills behind it
+    # dispatcher holds one batch; wait until the queue actually fills
+    # behind it (a fixed sleep flakes on a loaded 1-vCPU box)
+    for _ in range(200):
+        if b.stats()["queue_depth"] >= 2:
+            break
+        time.sleep(0.02)
+    assert b.stats()["queue_depth"] >= 2
     with pytest.raises(QueueFullError):
         b.submit(99)
     release.set()

@@ -419,3 +419,67 @@ def test_prewarm_bucket_claims():
     order.append("main-proceeds")
     th.join()
     assert order == ["prewarm-done", "main-proceeds"]
+
+
+def test_l1_switch_restarts_bucket_prewarm():
+    """Flipping use_l1 builds a brand-new jitted step whose multiscale
+    buckets are uncompiled; before_epoch must re-arm the prewarm (and stop
+    the old thread) or every bucket stalls the no-aug epochs on a
+    synchronous XLA compile."""
+    import threading
+    from types import SimpleNamespace
+
+    from eop_tpu.train.trainer import Trainer
+
+    class FakeLoader:
+        def close_mosaic(self):
+            pass
+
+        def __iter__(self):
+            return iter([])
+
+    t = Trainer.__new__(Trainer)
+    t.exp = SimpleNamespace(no_aug_epochs=5, eval_interval=10)
+    t.epoch, t.max_epoch, t.no_aug = 94, 100, False  # epoch+1 == switch
+    t.use_l1 = False
+    t.input_size = (640, 640)
+    t.train_loader = FakeLoader()
+    t._mosaic_switched = False
+    t._epoch_iter = None
+    t._prewarm_started = True
+    stop = threading.Event()
+    t._prewarm_thread = SimpleNamespace(stop_event=stop)
+    t._seen_buckets = {(640, 640), (608, 608), (672, 672)}
+    t.save_ckpt = lambda *a, **k: None
+
+    t.before_epoch()
+
+    assert t.use_l1 is True
+    assert t._prewarm_started is False, "prewarm must re-arm for the L1 step"
+    assert t._seen_buckets == {(640, 640)}
+    assert stop.is_set(), "the stale prewarm thread must be stopped"
+
+    # idempotent: a later epoch must not redo the switch
+    t._prewarm_started = True
+    t.epoch = 96
+    t.before_epoch()
+    assert t._prewarm_started is True
+
+
+def test_random_resize_preserves_aspect_and_prewarm_matches():
+    """Non-square input_size: multiscale draws keep the exp's W/H ratio
+    (the reference's size_factor, `yolox_base.py:169-177`) and the
+    prewarm bucket list enumerates exactly the drawable shapes."""
+    from eop_tpu.exp.yolox_base import Exp
+    from eop_tpu.train.prewarm import multiscale_buckets
+
+    exp = Exp()
+    exp.input_size = (480, 640)
+    exp.multiscale_range = 2
+    exp.seed = 7
+    drawn = {exp.random_resize(step=s) for s in range(200)}
+    factor = 640 / 480
+    for h, w in drawn:
+        assert h % 32 == 0 and w == 32 * int((h // 32) * factor), (h, w)
+    assert len({h for h, _ in drawn}) == 5  # all 5 buckets hit in 200 draws
+    assert drawn <= set(multiscale_buckets(exp))
