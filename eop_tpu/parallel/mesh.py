@@ -28,6 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
+MODEL_AXIS = "model"
 
 # Mesh visible to model code while a shard_* wrapper is being traced.
 # Intentionally our own contextvar rather than jax's legacy `with mesh:`
@@ -112,11 +113,32 @@ def unshard_space(x, axis_name: str = DATA_AXIS):
     return _pin_both_ways(x, NamedSharding(mesh, spec))
 
 
+def constrain_accum(x, axis_name: str = DATA_AXIS):
+    """Pin a ``[accum, micro, ...]`` micro-batch stack to per-micro batch
+    sharding (no-op unless traced under a mesh — see ``trace_mesh``).
+
+    Gradient accumulation reshapes the sharded global batch ``[B, ...] ->
+    [accum, B/accum, ...]``; without a constraint GSPMD is free to leave
+    the split dim half-sharded and materialize gathers inside the scan.
+    Images (5-D after the split) keep their height sharding on a space
+    mesh."""
+    mesh = _TRACE_MESH.get()
+    if mesh is None:
+        return x
+    dims = [None, axis_name]
+    if SPACE_AXIS in mesh.axis_names and np.ndim(x) == 5:
+        dims.append(SPACE_AXIS)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*dims))
+    )
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,
     axis_name: str = DATA_AXIS,
     spatial: int = 1,
+    tensor: int = 1,
 ) -> Mesh:
     """Device mesh over the first ``n_devices`` devices.
 
@@ -130,33 +152,52 @@ def make_mesh(
     or small-batch regimes where pure DP runs out of batch.  Halo traffic
     is O(W·C) per boundary vs O(H·W·C²/spatial) conv FLOPs per chip, so it
     rides ICI essentially free at real image sizes.
+
+    ``tensor>1`` adds a trailing ``model`` axis: parameter channel dims
+    (conv C_out, the matching BN/bias channel) shard over it (see
+    ``param_specs``), i.e. Megatron-style tensor parallelism with GSPMD
+    inserting the channel all-gathers/reduces.  For dense convnets the
+    space axis is usually the better model-parallel dim (activations
+    dominate); the model axis exists for weight-heavy regimes and as a
+    memory lever composable with ``fsdp`` sharding (``state_specs``).
+
+    Axes of size 1 are dropped, so downstream name checks
+    (``SPACE_AXIS in mesh.axis_names``) stay meaningful.
     """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
     devices = np.asarray(devices)
-    if spatial > 1:
-        if devices.size % spatial:
+    inner = spatial * tensor
+    if inner > 1:
+        if devices.size % inner:
             raise ValueError(
-                f"{devices.size} devices do not split into spatial={spatial}"
+                f"{devices.size} devices do not split into "
+                f"spatial={spatial} x tensor={tensor}"
             )
-        grid = devices.reshape(-1, spatial)
+        grid = devices.reshape(-1, spatial, tensor)
         # shard_batch stitches each process's local batch as the
         # host-local portion of the global array, which is only the truth
-        # if every (data-row × space) group lives on ONE process — i.e.
-        # the space axis never crosses a host.  Check the actual rows
+        # if every (data-row × space × model) group lives on ONE process —
+        # i.e. the inner axes never cross a host.  Check the actual rows
         # (not a local-count divisibility proxy) so explicit ``devices=``
         # orderings are caught too; trivially true single-process.
-        for row in grid:
+        for row in grid.reshape(-1, inner):
             procs = {d.process_index for d in row}
             if len(procs) > 1:
                 raise ValueError(
-                    f"spatial={spatial}: space group {list(row)} spans "
-                    f"processes {sorted(procs)}; the space axis must not "
-                    "cross hosts (shard_batch contract)"
+                    f"spatial={spatial} x tensor={tensor}: inner group "
+                    f"{list(row)} spans processes {sorted(procs)}; the "
+                    "space/model axes must not cross hosts "
+                    "(shard_batch contract)"
                 )
-        return Mesh(grid, (axis_name, SPACE_AXIS))
+        names = (axis_name, SPACE_AXIS, MODEL_AXIS)
+        keep = [i for i, n in enumerate(grid.shape) if n > 1 or i == 0]
+        return Mesh(
+            grid.reshape([grid.shape[i] for i in keep]),
+            tuple(names[i] for i in keep),
+        )
     return Mesh(devices, (axis_name,))
 
 
@@ -174,6 +215,70 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def batch_sharded(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
+
+
+def _leaf_spec(shape, mesh: Mesh, fsdp: bool, min_size: int = 256) -> P:
+    """Sharding spec for one parameter/optimizer leaf.
+
+    * model axis (tensor parallelism): the trailing dim — conv kernels are
+      HWIO so that's C_out; BN scale/bias/running stats and conv biases are
+      [C] so they follow their conv's channel sharding automatically.
+    * data axis (``fsdp=True``, ZeRO-style): the largest remaining dim that
+      divides — XLA all-gathers the shard for use and reduce-scatters the
+      gradient into the sharded optimizer update.
+
+    Leaves smaller than ``min_size`` elements stay replicated: sharding
+    scalars/tiny vectors (DWA state, schedule counters) buys nothing and
+    costs a collective each.
+    """
+    ndim = len(shape)
+    if ndim == 0 or int(np.prod(shape)) < min_size:
+        return P()
+    spec = [None] * ndim
+    if MODEL_AXIS in mesh.axis_names:
+        tp = mesh.shape[MODEL_AXIS]
+        if shape[-1] % tp == 0:
+            spec[-1] = MODEL_AXIS
+    if fsdp and DATA_AXIS in mesh.axis_names:
+        dp = mesh.shape[DATA_AXIS]
+        if dp > 1:
+            cands = [
+                i for i in range(ndim)
+                if spec[i] is None and shape[i] % dp == 0
+            ]
+            if cands:
+                spec[max(cands, key=lambda i: shape[i])] = DATA_AXIS
+    while spec and spec[-1] is None:
+        spec.pop()
+    return P(*spec)
+
+
+def param_specs(tree, mesh: Mesh, fsdp: bool = False, min_size: int = 256):
+    """NamedSharding pytree for params / optimizer / EMA / full TrainState.
+
+    With a ``model`` axis in the mesh, channel dims shard over it (tensor
+    parallelism); with ``fsdp=True``, remaining dims shard over ``data``
+    (ZeRO-style parameter+optimizer partitioning — the reference keeps a
+    full replica per GPU, `yolox/core/trainer.py:162-163`; here per-chip
+    state memory drops by ~the data-axis size and XLA turns the gradient
+    all-reduce into reduce-scatter + sharded update + all-gather-on-use).
+
+    Works on concrete arrays and ``ShapeDtypeStruct``s alike.
+    """
+    return jax.tree.map(
+        lambda x: NamedSharding(
+            mesh, _leaf_spec(tuple(getattr(x, "shape", ())), mesh,
+                             fsdp, min_size)
+        ),
+        tree,
+    )
+
+
+def place_state(state, mesh: Mesh, fsdp: bool = False):
+    """Device-put a TrainState onto its ``param_specs`` shardings (one-time,
+    before the first sharded step — keeps donation clean and avoids a
+    reshard on step 1)."""
+    return jax.device_put(state, param_specs(state, mesh, fsdp=fsdp))
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
@@ -234,7 +339,31 @@ def shard_inference(infer_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
     )
 
 
-def shard_train_step(step_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
+def shard_inference_tp(infer_body, variables, mesh: Mesh,
+                       axis_name: str = DATA_AXIS):
+    """Tensor-parallel inference: ``infer_body(variables, imgs)`` jitted
+    with the model's channel dims sharded over the mesh's ``model`` axis
+    (``param_specs``) — per-chip weight memory drops by the tensor-axis
+    size and GSPMD inserts the channel collectives.  Unlike
+    ``shard_inference`` (which closes over replicated variables), the
+    variables are an explicit argument here so their shardings are part of
+    the program signature; the returned callable has them pre-placed and
+    bound.
+    """
+    var_sh = param_specs(variables, mesh)
+    placed = jax.device_put(variables, var_sh)
+    data = NamedSharding(mesh, P(axis_name))
+    imgs = NamedSharding(mesh, image_spec(mesh, axis_name))
+    fn = jax.jit(
+        _traced_under(infer_body, mesh),
+        in_shardings=(var_sh, imgs),
+        out_shardings=data,
+    )
+    return functools.partial(fn, placed)
+
+
+def shard_train_step(step_fn, mesh: Mesh, axis_name: str = DATA_AXIS,
+                     state=None, fsdp: bool = False):
     """Jit a (state, images, labels, rng) -> (state, metrics) step over the
     mesh: state replicated (+donated), batch sharded on the data axis.
 
@@ -246,14 +375,24 @@ def shard_train_step(step_fn, mesh: Mesh, axis_name: str = DATA_AXIS):
     FLOPs and activation memory live) runs spatially partitioned, while
     labels and the per-anchor loss stay batch-sharded — GSPMD gathers the
     (small) head outputs across the space axis at the loss boundary.
+
+    With ``fsdp=True`` and/or a ``model`` axis in the mesh, pass the
+    concrete (or ``jax.eval_shape``-d) TrainState as ``state``: its leaves
+    are sharded per ``param_specs`` instead of replicated — parameters,
+    optimizer and EMA state partition across chips, and the same shardings
+    come back out so the step stays donation-stable.  Place the initial
+    state once with ``place_state``.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis_name))
     imgs = NamedSharding(mesh, image_spec(mesh, axis_name))
+    st = repl
+    if state is not None and (fsdp or MODEL_AXIS in mesh.axis_names):
+        st = param_specs(state, mesh, fsdp=fsdp)
     return jax.jit(
         _traced_under(step_fn, mesh),
-        in_shardings=(repl, imgs, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, imgs, data, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,),
     )
 

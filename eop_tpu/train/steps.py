@@ -73,18 +73,70 @@ def create_train_state(
     )
 
 
+def _accum_scan(grads_of, state: "TrainState", images, labels, rng,
+                accum: int):
+    """Gradient accumulation: ``lax.scan`` over ``accum`` micro-batches.
+
+    Semantics match running ``accum`` consecutive torch forward/backwards
+    before one optimizer step: BN statistics (and DWA state, 24p) advance
+    per micro-batch; gradients are averaged; the optimizer/EMA apply once.
+    Loss/aux metrics come back micro-averaged except ``cand_dropped``,
+    which is summed (it is a count).  The global batch must split evenly;
+    for even device sharding keep ``batch/accum`` divisible by the data
+    axis (``constrain_accum`` pins the per-micro layout).
+
+    Capability beyond the reference (no grad accumulation anywhere in
+    `yolox/core/trainer.py`): effective batch decouples from activation
+    memory — the scan holds one micro-batch of activations at a time.
+    """
+    from ..parallel.mesh import constrain_accum
+
+    b = images.shape[0]
+    if b % accum:
+        raise ValueError(f"batch {b} does not split into accum={accum}")
+    im = constrain_accum(
+        images.reshape(accum, b // accum, *images.shape[1:])
+    )
+    lb = constrain_accum(
+        labels.reshape(accum, b // accum, *labels.shape[1:])
+    )
+    rngs = jax.random.split(rng, accum)
+    gz = jax.tree.map(jnp.zeros_like, state.params)
+
+    def body(carry, xs):
+        bs, dwa, gsum = carry
+        mi, ml, r = xs
+        grads, total, aux, dwa, bs = grads_of(
+            state.params, bs, dwa, mi, ml, r
+        )
+        gsum = jax.tree.map(jnp.add, gsum, grads)
+        return (bs, dwa, gsum), (total, aux)
+
+    (new_bs, new_dwa, gsum), (totals, auxs) = jax.lax.scan(
+        body, (state.batch_stats, state.dwa, gz), (im, lb, rngs)
+    )
+    grads = jax.tree.map(lambda g: g / accum, gsum)
+    aux = jax.tree.map(lambda a: jnp.mean(a, axis=0), auxs)
+    if hasattr(aux, "cand_dropped"):
+        aux = aux._replace(cand_dropped=aux.cand_dropped * accum)
+    return grads, jnp.mean(totals), aux, new_dwa, new_bs
+
+
 def make_train_step_bbox(
     model,
     tx: optax.GradientTransformation,
     config: YoloxLossConfig,
     ema_decay: Optional[float] = 0.9998,
+    accum_steps: int = 1,
 ) -> Callable:
     """Train step for the bbox family (full-trainer path, T1)."""
 
-    def step(state: TrainState, images, labels, rng):
+    def grads_of(params, batch_stats, dwa, images, labels, rng):
+        del dwa  # bbox family has no DWA state
+
         def loss_fn(p):
             (head_outs, _), mut = model.apply(
-                {"params": p, "batch_stats": state.batch_stats},
+                {"params": p, "batch_stats": batch_stats},
                 images, True, mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
@@ -98,7 +150,18 @@ def make_train_step_bbox(
 
         (total, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(params)
+        return grads, total, aux, None, new_bs
+
+    def step(state: TrainState, images, labels, rng):
+        if accum_steps > 1:
+            grads, total, aux, _, new_bs = _accum_scan(
+                grads_of, state, images, labels, rng, accum_steps
+            )
+        else:
+            grads, total, aux, _, new_bs = grads_of(
+                state.params, state.batch_stats, None, images, labels, rng
+            )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
@@ -138,14 +201,15 @@ def make_train_step_24p(
     tx: optax.GradientTransformation,
     config: Loss24PConfig,
     ema_decay: Optional[float] = None,
+    accum_steps: int = 1,
 ) -> Callable:
     """Train step for the 24-point detector (T8 path, plus EMA as an
     upgrade the reference's minimal trainer lacks)."""
 
-    def step(state: TrainState, images, labels, rng):
+    def grads_of(params, batch_stats, dwa, images, labels, rng):
         def loss_fn(p):
             (head_outs, _), mut = model.apply(
-                {"params": p, "batch_stats": state.batch_stats},
+                {"params": p, "batch_stats": batch_stats},
                 images, True, mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
@@ -154,13 +218,25 @@ def make_train_step_24p(
             )
             total, aux, new_dwa = loss_24p(
                 decoded, origin_reg, labels, grids, strides,
-                state.dwa, config,
+                dwa, config,
             )
             return total, (aux, new_dwa, mut["batch_stats"])
 
         (total, (aux, new_dwa, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(params)
+        return grads, total, aux, new_dwa, new_bs
+
+    def step(state: TrainState, images, labels, rng):
+        if accum_steps > 1:
+            grads, total, aux, new_dwa, new_bs = _accum_scan(
+                grads_of, state, images, labels, rng, accum_steps
+            )
+        else:
+            grads, total, aux, new_dwa, new_bs = grads_of(
+                state.params, state.batch_stats, state.dwa,
+                images, labels, rng,
+            )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params

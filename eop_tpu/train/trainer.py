@@ -29,8 +29,10 @@ import numpy as np
 
 from ..losses import YoloxLossConfig
 from ..parallel.mesh import (
+    MODEL_AXIS,
     shard_batch,
     make_mesh,
+    place_state,
     shard_train_step,
 )
 from ..utils.logger import logger, setup_logger
@@ -149,7 +151,16 @@ class Trainer:
         )
         self.resume_train()
 
-        self.mesh = make_mesh(spatial=getattr(args, "spatial", 1))
+        self.mesh = make_mesh(
+            spatial=getattr(args, "spatial", 1),
+            tensor=getattr(args, "tensor", 1),
+        )
+        # ZeRO-style state sharding and/or channel tensor parallelism:
+        # place the (possibly resumed) state on its param_specs shardings
+        # once, so every compiled step is donation-stable from step 1
+        self.fsdp = bool(getattr(args, "fsdp", False))
+        if self.fsdp or MODEL_AXIS in self.mesh.axis_names:
+            self.state = place_state(self.state, self.mesh, fsdp=self.fsdp)
         self._steps = {}  # (use_l1,) -> compiled step
         self.evaluator = (
             # both halves of distributed eval wired together: the
@@ -187,8 +198,11 @@ class Trainer:
             step = make_train_step_bbox(
                 self.model, self.tx, cfg,
                 ema_decay=self.exp.ema_decay if self.use_ema else None,
+                accum_steps=getattr(self.args, "accum", 1),
             )
-            self._steps[key] = shard_train_step(step, self.mesh)
+            self._steps[key] = shard_train_step(
+                step, self.mesh, state=self.state, fsdp=self.fsdp
+            )
         return self._steps[key]
 
     def train_in_epoch(self):

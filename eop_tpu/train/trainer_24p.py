@@ -22,7 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..losses import Loss24PConfig
-from ..parallel.mesh import make_mesh, shard_batch, shard_train_step
+from ..parallel.mesh import (
+    MODEL_AXIS,
+    make_mesh,
+    place_state,
+    shard_batch,
+    shard_train_step,
+)
 from ..utils.logger import logger, setup_logger
 from ..utils.metric import CandidateDropMonitor
 from .checkpoint import load_checkpoint, load_ckpt_partial, save_checkpoint
@@ -120,7 +126,15 @@ class Trainer24P:
         )
         state = self._maybe_resume(state)
 
-        mesh = make_mesh(spatial=getattr(args, "spatial", 1))
+        mesh = make_mesh(
+            spatial=getattr(args, "spatial", 1),
+            tensor=getattr(args, "tensor", 1),
+        )
+        fsdp = bool(getattr(args, "fsdp", False))
+        if fsdp or MODEL_AXIS in mesh.axis_names:
+            # ZeRO-style state sharding / channel tensor parallelism:
+            # one-time placement keeps every step donation-stable
+            state = place_state(state, mesh, fsdp=fsdp)
         steps = {}
 
         def get_step(use_l1: bool):
@@ -134,8 +148,9 @@ class Trainer24P:
                     make_train_step_24p(
                         model, tx, cfg,
                         ema_decay=exp.ema_decay if exp.ema else None,
+                        accum_steps=getattr(args, "accum", 1),
                     ),
-                    mesh,
+                    mesh, state=state, fsdp=fsdp,
                 )
             return steps[use_l1]
 

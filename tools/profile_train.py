@@ -19,6 +19,35 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def attach(args):
+    """Attach to a live ``--profile-port`` trainer and print its per-op
+    device-time tables — live profiling of a real run, not an offline
+    replica (closes the observability gap the reference never had:
+    `yolox_24p/train_24p.py:73-111` is host timers only)."""
+    import tempfile
+
+    from jax.collect_profile import collect_profile
+
+    from eop_tpu.utils.xplane import device_op_table
+
+    host, _, port = args.attach.rpartition(":")
+    logdir = args.logdir or tempfile.mkdtemp(prefix="eop_live_trace_")
+    collect_profile(
+        int(port), args.duration_ms, host or "127.0.0.1", logdir,
+        no_perfetto_link=True,
+    )
+    print(f"live trace ({args.duration_ms} ms window) in {logdir}")
+    for title, by_cat in (("by category", True), ("top ops", False)):
+        print(f"--- device time {title} ---")
+        try:
+            rows = device_op_table(logdir, top=args.top, by_category=by_cat)
+        except FileNotFoundError as e:
+            print(f"  no device plane: {e}")
+            break
+        for op, ms in rows:
+            print(f"{ms:10.3f} ms  {op}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -37,7 +66,17 @@ def main():
                     choices=["train", "true", "false"],
                     help="packed_early mode for the early backbone "
                          "(default: train — the trainers' default)")
+    ap.add_argument("--attach", default=None, metavar="HOST:PORT",
+                    help="capture a live trace from a running trainer "
+                         "started with --profile-port (no local model is "
+                         "built); prints the same per-op device tables")
+    ap.add_argument("--duration-ms", type=int, default=3000,
+                    help="capture window for --attach")
     args = ap.parse_args()
+
+    if args.attach:
+        attach(args)
+        return
 
     import jax
     import jax.numpy as jnp

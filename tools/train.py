@@ -40,6 +40,23 @@ def make_parser():
                         help="shard image height over this many devices "
                              "on top of data parallelism (2-D mesh; "
                              "capability the reference's DDP lacks)")
+    parser.add_argument("--tensor", type=int, default=1,
+                        help="shard parameter channel dims over this many "
+                             "devices (model axis / tensor parallelism)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-style sharding of params/optimizer/EMA "
+                             "over the data axis (all-gather on use, "
+                             "reduce-scatter grads)")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="gradient accumulation micro-steps per "
+                             "optimizer step (lax.scan in-program; "
+                             "effective batch = batch_size, activation "
+                             "memory ~ batch_size/accum)")
+    parser.add_argument("--profile-port", type=int, default=None,
+                        help="start jax.profiler.start_server(PORT): live "
+                             "on-demand device traces via TensorBoard's "
+                             "capture-profile button or "
+                             "tools/profile_train.py --attach")
     parser.add_argument("--multi-host", action="store_true",
                         help="call jax.distributed.initialize() first")
     parser.add_argument("--coordinator", type=str, default=None,
@@ -72,6 +89,13 @@ def main():
                       process_id=args.process_id)
         jax.distributed.initialize(**kw)
 
+    if args.profile_port:
+        import jax
+
+        # live profiling: a TensorBoard "capture profile" (or
+        # jax.profiler.trace_from_url) can attach to this port any time
+        # during the run — closes the offline-only profiling gap
+        jax.profiler.start_server(args.profile_port)
     from eop_tpu.exp import get_exp
     from eop_tpu.train import Trainer
 
