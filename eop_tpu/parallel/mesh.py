@@ -159,7 +159,7 @@ def make_mesh(
     inserting the channel all-gathers/reduces.  For dense convnets the
     space axis is usually the better model-parallel dim (activations
     dominate); the model axis exists for weight-heavy regimes and as a
-    memory lever composable with ``fsdp`` sharding (``state_specs``).
+    memory lever composable with ``fsdp`` sharding (``param_specs``).
 
     Axes of size 1 are dropped, so downstream name checks
     (``SPACE_AXIS in mesh.axis_names``) stay meaningful.
@@ -277,8 +277,39 @@ def param_specs(tree, mesh: Mesh, fsdp: bool = False, min_size: int = 256):
 def place_state(state, mesh: Mesh, fsdp: bool = False):
     """Device-put a TrainState onto its ``param_specs`` shardings (one-time,
     before the first sharded step — keeps donation clean and avoids a
-    reshard on step 1)."""
-    return jax.device_put(state, param_specs(state, mesh, fsdp=fsdp))
+    reshard on step 1).
+
+    Logs the sharded byte fraction, and warns when sharding was requested
+    but no leaf actually partitioned (e.g. ``fsdp`` on a data-axis size
+    that divides no channel dim, like dp=6 against 64/128/256-channel
+    kernels) — otherwise a user counting on the memory drop silently gets
+    full replication."""
+    specs = param_specs(state, mesh, fsdp=fsdp)
+    total = sharded = 0
+    for leaf, sh in zip(jax.tree.leaves(state), jax.tree.leaves(specs)):
+        nbytes = int(np.prod(getattr(leaf, "shape", ()) or (1,))) * (
+            np.dtype(getattr(leaf, "dtype", np.float32)).itemsize
+        )
+        total += nbytes
+        if any(ax is not None for ax in sh.spec):
+            nshards = int(np.prod([
+                mesh.shape[ax] for ax in jax.tree.leaves(tuple(sh.spec))
+            ]))
+            sharded += nbytes * (1 - 1 / nshards)
+    from ..utils.logger import logger
+
+    if total and sharded == 0 and (fsdp or MODEL_AXIS in mesh.axis_names):
+        logger.warning(
+            "place_state: fsdp/tensor sharding requested but NO leaf "
+            "partitioned — no axis size divides any parameter dim "
+            f"(mesh {dict(mesh.shape)}); state stays fully replicated"
+        )
+    elif total:
+        logger.info(
+            f"place_state: {sharded / total:.1%} of state bytes sharded "
+            f"off-chip (mesh {dict(mesh.shape)}, fsdp={fsdp})"
+        )
+    return jax.device_put(state, specs)
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
@@ -387,7 +418,15 @@ def shard_train_step(step_fn, mesh: Mesh, axis_name: str = DATA_AXIS,
     data = NamedSharding(mesh, P(axis_name))
     imgs = NamedSharding(mesh, image_spec(mesh, axis_name))
     st = repl
-    if state is not None and (fsdp or MODEL_AXIS in mesh.axis_names):
+    if fsdp or MODEL_AXIS in mesh.axis_names:
+        if state is None:
+            # silently replicating here would drop exactly what the
+            # caller asked for (ZeRO/TP memory partitioning)
+            raise ValueError(
+                "shard_train_step: fsdp/tensor sharding requested but no "
+                "`state` template was passed — param_specs needs the leaf "
+                "shapes (pass the TrainState or its jax.eval_shape)"
+            )
         st = param_specs(state, mesh, fsdp=fsdp)
     return jax.jit(
         _traced_under(step_fn, mesh),

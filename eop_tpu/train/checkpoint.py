@@ -25,6 +25,34 @@ def _to_host(tree):
     return jax.device_get(tree)
 
 
+def state_to_host(tree):
+    """Fetch a (possibly cross-host-sharded) state to host values.
+
+    With FSDP under multi-host, params/opt/EMA leaves span processes and
+    ``jax.device_get`` cannot fetch them — each leaf must be all-gathered
+    first.  That makes this function a COLLECTIVE whenever any leaf is
+    not fully addressable: every process must call it at the same point
+    (the trainers call it *before* their rank-0-only write gate).  When
+    everything is addressable (single host, or replicated multi-host
+    state) it returns the tree untouched — zero cost, and the eventual
+    ``_to_host`` inside ``save_checkpoint`` does one batched fetch.
+    """
+    needs_gather = any(
+        isinstance(x, jax.Array) and not x.is_fully_addressable
+        for x in jax.tree.leaves(tree)
+    )
+    if not needs_gather:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    return jax.device_get(jax.tree.map(fetch, tree))
+
+
 def _single_process_checkpointer():
     """A checkpointer whose barriers span only THIS process.
 

@@ -42,7 +42,12 @@ from ..utils.metric import (
     device_mem_usage,
 )
 from ..utils.model_utils import get_model_info
-from .checkpoint import load_checkpoint, load_ckpt_partial, save_checkpoint
+from .checkpoint import (
+    load_checkpoint,
+    load_ckpt_partial,
+    save_checkpoint,
+    state_to_host,
+)
 from .steps import TrainState, create_train_state, make_train_step_bbox
 
 
@@ -460,13 +465,16 @@ class Trainer:
             self.save_ckpt(ckpt_name="last_epoch")
             return
         use_ema = self.use_ema and self.state.ema_params is not None
-        eval_vars = {
+        # state_to_host: under multi-host FSDP the weights span processes
+        # and each rank's eval program needs a local copy (collective —
+        # evaluate runs on all ranks); no-op otherwise
+        eval_vars = state_to_host({
             "params": self.state.ema_params if use_ema else self.state.params,
             # the reference's EMA covers BN running stats too (ema.py:42-53)
             "batch_stats": self.state.ema_batch_stats
             if use_ema and self.state.ema_batch_stats is not None
             else self.state.batch_stats,
-        }
+        })
         ap50_95, ap50, summary = self.exp.eval(
             self.model, eval_vars, self.evaluator,
             is_distributed=jax.process_count() > 1,
@@ -481,11 +489,15 @@ class Trainer:
         self.best_ap = max(self.best_ap, ap50_95)
 
     def save_ckpt(self, ckpt_name: str, update_best_ckpt: bool = False):
+        # collective when FSDP shards state across hosts (every rank joins
+        # the gather; all save_ckpt call sites run on all ranks) — must
+        # happen BEFORE the rank-0-only write gate
+        host_state = state_to_host(self.state)
         if not getattr(self, "is_main", True):
             return  # one writer per checkpoint dir under multi-host
         logger.info(f"Save weights to {self.file_name}")
         save_checkpoint(
-            self.state,
+            host_state,
             update_best_ckpt,
             self.file_name,
             ckpt_name,

@@ -31,7 +31,12 @@ from ..parallel.mesh import (
 )
 from ..utils.logger import logger, setup_logger
 from ..utils.metric import CandidateDropMonitor
-from .checkpoint import load_checkpoint, load_ckpt_partial, save_checkpoint
+from .checkpoint import (
+    load_checkpoint,
+    load_ckpt_partial,
+    save_checkpoint,
+    state_to_host,
+)
 from .steps import create_train_state, make_train_step_24p
 
 
@@ -206,20 +211,26 @@ class Trainer24P:
             logger.info(
                 f"epoch {epoch + 1} done in {time.time() - epoch_start:.1f}s"
             )
+            # collective when FSDP shards state across hosts (every rank
+            # joins the gather) — must run BEFORE the rank-0 write gate
+            host_state = state_to_host(state)
             if self.is_main:  # one writer per checkpoint dir
                 save_checkpoint(
-                    state, False, self.file_name, "last_epoch",
+                    host_state, False, self.file_name, "last_epoch",
                     metadata={"start_epoch": epoch + 1},
                 )
             if evaluator and (epoch + 1) % exp.eval_interval == 0:
                 use_ema = exp.ema and state.ema_params is not None
-                eval_vars = {
+                # state_to_host: under multi-host FSDP each rank's eval
+                # program needs a local weight copy (collective; no-op
+                # otherwise)
+                eval_vars = state_to_host({
                     "params": state.ema_params if use_ema else state.params,
                     # EMA covers BN running stats too (ref ema.py:42-53)
                     "batch_stats": state.ema_batch_stats
                     if use_ema and state.ema_batch_stats is not None
                     else state.batch_stats,
-                }
+                })
                 ap5095, ap50, summary = evaluator.evaluate(
                     exp.get_infer_fn(model, eval_vars)
                 )
@@ -232,8 +243,10 @@ class Trainer24P:
                 if ap5095 > best_ap:
                     best_ap = ap5095
                     if self.is_main:
+                        # host_state gathered above this epoch; the
+                        # optimizer step count hasn't advanced since
                         save_checkpoint(
-                            state, True, self.file_name, "last_epoch",
+                            host_state, True, self.file_name, "last_epoch",
                             metadata={"start_epoch": epoch + 1},
                         )
         self.train_loader.shutdown()

@@ -141,6 +141,57 @@ def test_fsdp_step_matches_replicated():
 
 
 @needs8
+def test_fsdp_without_state_raises():
+    """fsdp/tensor without a state template must fail loudly at build
+    time, not silently fall back to full replication (r3 review)."""
+    from eop_tpu.parallel import make_mesh, shard_train_step
+
+    _, _, step, _, _ = _tiny_bbox_setup()
+    with pytest.raises(ValueError, match="state"):
+        shard_train_step(step, make_mesh(8), fsdp=True)
+    with pytest.raises(ValueError, match="state"):
+        shard_train_step(step, make_mesh(8, tensor=2))
+
+
+def test_fsdp_indivisible_warns():
+    """A data-axis size that divides no parameter dim must warn that
+    nothing sharded (r3 review: silent full replication on e.g. dp=6).
+
+    Captured with a handler on the package logger directly — setup_logger
+    sets propagate=False, so caplog's root-logger handler can miss it
+    depending on suite order."""
+    import logging
+
+    from eop_tpu.parallel import make_mesh, place_state
+    from eop_tpu.utils.logger import logger as eop_logger
+
+    if jax.device_count() < 6:
+        pytest.skip("needs 6 devices")
+    # 6 divides neither power-of-2 channel dims nor 3x3 kernel spatial
+    # dims (the real model also has 48/96-channel CSP leaves that DO
+    # divide 6, so a synthetic all-power-of-2 tree isolates the case)
+    mesh = make_mesh(6)
+    tree = {
+        "k1": jnp.zeros((3, 3, 64, 128)),
+        "k2": jnp.zeros((1, 1, 256, 512)),
+        "bn": jnp.zeros((512,)),
+    }
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    eop_logger.addHandler(handler)
+    try:
+        placed = place_state(tree, mesh, fsdp=True)
+    finally:
+        eop_logger.removeHandler(handler)
+    assert any("NO leaf partitioned" in r.getMessage() for r in records)
+    # and the state really is replicated (the condition being warned about)
+    assert all(
+        x.sharding.spec == P() for x in jax.tree.leaves(placed)
+    )
+
+
+@needs8
 def test_fsdp_state_actually_sharded():
     """FSDP must shard the big leaves, not just relabel them: per-device
     bytes of the placed params should be ~1/8 of the replicated total."""

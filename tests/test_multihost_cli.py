@@ -45,7 +45,19 @@ def synth24p(tmp_path_factory):
     return root
 
 
-def test_train_24p_multihost_cli(synth24p, tmp_path):
+@pytest.mark.parametrize(
+    "extra_flags",
+    [
+        pytest.param([], id="ddp"),
+        # FSDP across hosts: the checkpoint save must all-gather the
+        # cross-process-sharded state before the rank-0 write (a plain
+        # device_get raises on non-addressable arrays — regression for
+        # the r3 review finding); --accum rides along to cover the
+        # micro-batch scan under the multi-host mesh
+        pytest.param(["--fsdp", "--accum", "2"], id="fsdp_accum"),
+    ],
+)
+def test_train_24p_multihost_cli(synth24p, tmp_path, extra_flags):
     port = _free_port()
     n = 2
     outdirs = [tmp_path / f"rank{i}" for i in range(n)]
@@ -79,6 +91,7 @@ def test_train_24p_multihost_cli(synth24p, tmp_path):
                 "--multi-host", "--platform", "cpu",
                 "--coordinator", f"127.0.0.1:{port}",
                 "--num-processes", str(n), "--process-id", str(i),
+                *extra_flags,
                 "depth", "0.33", "width", "0.25",
                 "input_size", "(96,96)", "test_size", "(96,96)",
                 "num_classes", "3", "print_interval", "1",

@@ -24,8 +24,6 @@ def attach(args):
     device-time tables — live profiling of a real run, not an offline
     replica (closes the observability gap the reference never had:
     `yolox_24p/train_24p.py:73-111` is host timers only)."""
-    import tempfile
-
     from jax.collect_profile import collect_profile
 
     from eop_tpu.utils.xplane import device_op_table
