@@ -88,14 +88,41 @@ def save_checkpoint(state: Any, is_best: bool, save_dir: str,
     if metadata:
         payload["metadata"] = dict(metadata)
     ckptr = _single_process_checkpointer()
+    # crash-safe: write beside the live checkpoint, then swap — a kill
+    # mid-save must never leave the run with NO restorable checkpoint
+    # (the reference's torch.save has the same rm-then-write window,
+    # `yolox/utils/checkpoint.py:36-43`; here resume is load-bearing for
+    # long runs so the window is closed).  os.replace is atomic within a
+    # filesystem; the brief old-gone/new-renaming gap of the non-best
+    # swap is one rename syscall, not a multi-second serialize.
+    tmp = path + ".saving"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, payload)
     if os.path.exists(path):
-        shutil.rmtree(path)
-    ckptr.save(path, payload)
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.replace(tmp, path)
     if is_best:
         best = os.path.abspath(os.path.join(save_dir, "best_ckpt"))
+        tmp_best = best + ".saving"
+        if os.path.exists(tmp_best):
+            shutil.rmtree(tmp_best)
+        shutil.copytree(path, tmp_best)
         if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
+            old = best + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.replace(best, old)
+            os.replace(tmp_best, best)
+            shutil.rmtree(old)
+        else:
+            os.replace(tmp_best, best)
 
 
 def load_checkpoint(path: str):

@@ -99,6 +99,29 @@ def test_checkpoint_roundtrip(tmp_path):
     assert not any(k.endswith("/a") for k in skipped_keys), skipped_keys
 
 
+def test_checkpoint_overwrite_is_atomic(tmp_path):
+    """Overwriting saves swap via a side directory: the new payload lands,
+    no .saving/.old residue remains, and a stale .saving leftover from a
+    killed save is cleaned up instead of breaking the next one."""
+    from eop_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    def st(v):
+        return {"step": np.asarray(v, np.int32)}
+
+    save_checkpoint(st(1), True, str(tmp_path), "latest")
+    # simulate a previous save killed mid-write
+    (tmp_path / "latest_ckpt.saving").mkdir()
+    (tmp_path / "latest_ckpt.saving" / "garbage").write_text("x")
+    save_checkpoint(st(2), True, str(tmp_path), "latest")
+    assert int(load_checkpoint(str(tmp_path / "latest_ckpt"))
+               ["state"]["step"]) == 2
+    assert int(load_checkpoint(str(tmp_path / "best_ckpt"))
+               ["state"]["step"]) == 2
+    residue = [p.name for p in tmp_path.iterdir()
+               if p.name.endswith((".saving", ".old"))]
+    assert not residue, residue
+
+
 def test_fuse_conv_bn_single_block_exact():
     from eop_tpu.ops.blocks import BaseConv
     from eop_tpu.utils.model_utils import fuse_conv_bn
