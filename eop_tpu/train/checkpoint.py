@@ -99,8 +99,8 @@ def save_checkpoint(state: Any, is_best: bool, save_dir: str,
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     ckptr.save(tmp, payload)
+    old = path + ".old"
     if os.path.exists(path):
-        old = path + ".old"
         if os.path.exists(old):
             shutil.rmtree(old)
         os.replace(path, old)
@@ -108,30 +108,44 @@ def save_checkpoint(state: Any, is_best: bool, save_dir: str,
         shutil.rmtree(old)
     else:
         os.replace(tmp, path)
+        if os.path.exists(old):  # residue of a save killed mid-swap
+            shutil.rmtree(old)
     if is_best:
         best = os.path.abspath(os.path.join(save_dir, "best_ckpt"))
         tmp_best = best + ".saving"
         if os.path.exists(tmp_best):
             shutil.rmtree(tmp_best)
         shutil.copytree(path, tmp_best)
+        old_best = best + ".old"
         if os.path.exists(best):
-            old = best + ".old"
-            if os.path.exists(old):
-                shutil.rmtree(old)
-            os.replace(best, old)
+            if os.path.exists(old_best):
+                shutil.rmtree(old_best)
+            os.replace(best, old_best)
             os.replace(tmp_best, best)
-            shutil.rmtree(old)
+            shutil.rmtree(old_best)
         else:
             os.replace(tmp_best, best)
+            if os.path.exists(old_best):
+                shutil.rmtree(old_best)
 
 
 def load_checkpoint(path: str):
     """Load a checkpoint directory -> payload dict.
 
     Local read, process-local barrier: every rank that has the file can
-    restore independently (a rank without it must not block the others)."""
+    restore independently (a rank without it must not block the others).
+
+    If ``path`` is missing but ``path + ".old"`` exists, the previous save
+    was killed inside its one-rename swap window (old moved aside, new not
+    yet renamed in) — restore the ``.old`` copy rather than failing, so a
+    crash at that instant still leaves a resumable run."""
     ckptr = _single_process_checkpointer()
-    return ckptr.restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    if not os.path.exists(path) and os.path.exists(path + ".old"):
+        print(f"checkpoint {path} missing; restoring {path}.old "
+              "(save was interrupted mid-swap)")
+        path = path + ".old"
+    return ckptr.restore(path)
 
 
 def _norm_path(path) -> str:

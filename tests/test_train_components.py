@@ -120,6 +120,18 @@ def test_checkpoint_overwrite_is_atomic(tmp_path):
     residue = [p.name for p in tmp_path.iterdir()
                if p.name.endswith((".saving", ".old"))]
     assert not residue, residue
+    # simulate a save killed inside the one-rename swap window: the live
+    # dir was moved to .old but the replacement never renamed in
+    (tmp_path / "latest_ckpt").rename(tmp_path / "latest_ckpt.old")
+    assert int(load_checkpoint(str(tmp_path / "latest_ckpt"))
+               ["state"]["step"]) == 2
+    # the next save replaces the live dir and clears the stale .old
+    save_checkpoint(st(3), False, str(tmp_path), "latest")
+    assert int(load_checkpoint(str(tmp_path / "latest_ckpt"))
+               ["state"]["step"]) == 3
+    residue = [p.name for p in tmp_path.iterdir()
+               if p.name.endswith((".saving", ".old"))]
+    assert not residue, residue
 
 
 def test_fuse_conv_bn_single_block_exact():
