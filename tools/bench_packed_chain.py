@@ -93,6 +93,16 @@ def main():
                                                 fine_hw=hw))
         return act(packed_conv(y, ws[7], 2, 1, mode="pf", fine_hw=hw))
 
+    def stem_packed_chain(ws, x):
+        # boundary sweep: only the stem computes packed (fp), dark2's
+        # downsample consumes the packed tensor and returns to fine (pf)
+        act = jax.nn.silu
+        y = act(packed_conv(x, ws[0], 2, 2, mode="fp", fine_hw=(S, S)))
+        y = act(packed_conv(y, ws[1], 2, 1, mode="pf",
+                            fine_hw=(S // 2, S // 2)))
+        y = _csp(y, ws, lambda t, w, s, p: fine_conv(t, w, s, p))
+        return act(fine_conv(y, ws[7], 2, 1))
+
     def timed(fn, *a):
         out = fn(*a)
         jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
@@ -108,7 +118,8 @@ def main():
     print(f"B={B} @{S} dtype={args.dtype} iters={args.iters} "
           f"best-of-{args.reps}")
 
-    for name, chain in (("fine", fine_chain), ("packed", packed_chain)):
+    for name, chain in (("fine", fine_chain), ("packed", packed_chain),
+                        ("stem-pk", stem_packed_chain)):
         fwd = jax.jit(chain)
         t_f = timed(fwd, ws, x)
 
