@@ -80,6 +80,7 @@ def main():
     variables = init_model(
         model, jax.random.PRNGKey(0),
         jnp.zeros((1, exp.test_size[0], exp.test_size[1], 3), jnp.float32),
+        on_host=True,
     )
     if args.weights:
         from eop_tpu.train.checkpoint import load_eval_variables

@@ -65,7 +65,7 @@ class Evaluator:
         )
         from eop_tpu.models import init_model
 
-        variables = init_model(model, rng, sample)
+        variables = init_model(model, rng, sample, on_host=True)
         w = self.args.weights
         if w:
             from eop_tpu.train.checkpoint import load_eval_variables
