@@ -138,16 +138,20 @@ class Demo:
 def run_images(demo: Demo, files, save_dir):
     import cv2
 
-    frames = [cv2.imread(f) for f in files]
-    for f, img in zip(files, frames):
-        assert img is not None, f"cannot read {f}"
     from eop_tpu.data.augment import preproc
 
-    calib = [preproc(img, demo.exp.test_size)[0][None]
-             for img in frames[:4]]
+    # Only the calibration subset is decoded eagerly; the main loop streams
+    # one frame at a time so a large folder can't exhaust host memory.
+    calib = []
+    for f in files[:4]:
+        img = cv2.imread(f)
+        assert img is not None, f"cannot read {f}"
+        calib.append(preproc(img, demo.exp.test_size)[0][None])
     infer = demo.load(calib)
     t0, n_det = time.perf_counter(), 0
-    for f, img in zip(files, frames):
+    for f in files:
+        img = cv2.imread(f)
+        assert img is not None, f"cannot read {f}"
         rows, r = demo.detect(infer, img)
         out = demo.draw(img.copy(), rows, r)
         out_path = os.path.join(save_dir, os.path.basename(f))
@@ -167,10 +171,20 @@ def run_video(demo: Demo, src, save_dir):
     fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
     w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    out_path = os.path.join(save_dir, os.path.basename(src))
-    fourcc = "MJPG" if out_path.lower().endswith(".avi") else "mp4v"
+    # mp4v only reliably writes into .mp4 containers; everything else
+    # (.mkv/.webm/.mov sources included) goes out as .avi/MJPG, which the
+    # bundled OpenCV can always encode.
+    base = os.path.basename(src)
+    stem, ext = os.path.splitext(base)
+    if ext.lower() == ".mp4":
+        out_path, fourcc = os.path.join(save_dir, base), "mp4v"
+    else:
+        out_path, fourcc = os.path.join(save_dir, stem + ".avi"), "MJPG"
     writer = cv2.VideoWriter(
         out_path, cv2.VideoWriter_fourcc(*fourcc), fps, (w, h)
+    )
+    assert writer.isOpened(), (
+        f"cannot open video writer for {out_path} (fourcc {fourcc})"
     )
     from eop_tpu.data.augment import preproc
 
