@@ -170,6 +170,42 @@ def ref_demo_featuremap():
                       f"{REF}/yolox/demo_featuremap.py")
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def cpu_torch_factories():
+    """Strip ``device=`` kwargs from the torch factory functions for the
+    duration of the block.
+
+    The reference hardcodes CUDA devices inside its hot paths
+    (`yolox_24p/models/losses.py:561,566` builds bool masks on 'cuda:0';
+    `yolox_24p/models/yolo_head_24p.py:176` builds expanded_strides on
+    'cuda'), so running its training forward on CPU needs the kwargs
+    dropped.  The reference tree itself is never modified."""
+    import torch
+
+    orig = {}
+
+    def wrap(name):
+        fn = getattr(torch, name)
+        orig[name] = fn
+
+        def patched(*args, **kwargs):
+            kwargs.pop("device", None)
+            return fn(*args, **kwargs)
+
+        setattr(torch, name, patched)
+
+    for name in ("zeros", "arange", "tensor", "full", "ones"):
+        wrap(name)
+    try:
+        yield
+    finally:
+        for name, fn in orig.items():
+            setattr(torch, name, fn)
+
+
 def apply_init_yolo(torch_model):
     """The reference's get_model BN re-init: eps 1e-3, momentum 0.03
     (`yolox/exp/yolox_base.py:76-80`)."""
