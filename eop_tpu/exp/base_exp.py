@@ -70,16 +70,13 @@ class BaseExp(metaclass=ABCMeta):
         most ``packed_infer_max_batch``.  Parameters are layout-
         independent, so this is purely a program-build decision —
         ``jax.jit`` retraces per input shape and each shape gets the right
-        layout.  int8 PTQ keeps the fine layout: calibration observed the
-        fine ``nn.Conv`` modules and the quant interceptor only sees
-        those.
+        layout.  int8 PTQ composes with either layout (round 4): scales
+        are keyed layout-invariantly (``<module>/conv``, see
+        `ops/quant.packed_act_scale`), and in the packed layout the early
+        stages' 4x channel widening lifts them over the int8 channel gate
+        their fine form fails.
         """
         packed = getattr(model, "packed_early", False)
-        if quant_scales:
-            # the quant interceptor only sees nn.Conv modules and the
-            # calibration observed the fine layout — a packed_early=True
-            # model would silently run its early segment unquantized
-            return model.clone(packed_early=False) if packed else model
         per_device = batch // max(1, batch_divisor)
         if packed and per_device <= getattr(self, "packed_infer_max_batch",
                                             64):
@@ -121,11 +118,15 @@ class BaseExp(metaclass=ABCMeta):
         from ..ops import quant
         from ..utils.model_utils import fuse_conv_bn
 
-        # calibration must observe the fine nn.Conv modules — the packed
-        # early segment bypasses nn.Conv entirely and would silently
-        # escape both observation and quantization
+        # calibration observes the fine layout: packing is a permutation,
+        # so per-conv absmax is layout-invariant and the scales (keyed
+        # ``<module>/conv``) serve programs of either layout.  The
+        # observation gate is 4x lower than the quant gate so the convs
+        # that only become int8-eligible when packing widens their
+        # channels 4x still get calibrated scales.
         if getattr(model, "packed_early", False):
             model = model.clone(packed_early=False)
+        observe_min = max(1, min_channels // 4)
 
         if "batch_stats" in variables:
             fused_p, fused_s = fuse_conv_bn(
@@ -137,7 +138,7 @@ class BaseExp(metaclass=ABCMeta):
         def observe(imgs):
             imgs = imgs.astype("float32")
             with nn.intercept_methods(
-                quant.observe_interceptor(min_channels)
+                quant.observe_interceptor(observe_min)
             ):
                 _, stats = model.apply(
                     variables, imgs, False, mutable=[quant.QUANT_STATS]

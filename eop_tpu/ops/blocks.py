@@ -165,8 +165,17 @@ class BaseConv(nn.Module):
         ci = x.shape[-1] // (4 if self.in_layout == "packed" else 1)
         w = _FocusKernel(
             (self.ksize, self.ksize, ci, self.out_channels), name="conv")()
+        # int8 PTQ composition (ops/quant.py): the executed conv's channel
+        # dims are the packed ones — 4x the fine counts on packed axes —
+        # so early stages that stay bf16 in the fine layout clear the
+        # MXU-utilization gate here
+        from .quant import packed_act_scale
+
+        out_ch = (self.out_channels * 4 if self.out_layout == "packed"
+                  else self.out_channels)
+        s_x = packed_act_scale(self, x.shape[-1], out_ch)
         y = packed_conv(x.astype(self.dtype), w.astype(self.dtype),
-                        self.stride, pad, mode=mode)
+                        self.stride, pad, mode=mode, act_scale=s_x)
         if self.out_layout == "packed":
             y = batch_norm_packed(y, train, dtype=self.dtype,
                                   axis_name=self.bn_axis_name)

@@ -192,13 +192,25 @@ def _out_size(h: int, k: int, s: int, pad: int) -> int:
 
 
 def packed_conv(x, w, stride: int, pad: int, mode: str = "pp",
-                fine_hw=None):
+                fine_hw=None, act_scale=None):
     """Run the fine conv ``(w, stride, pad)`` in packed space.
 
     mode: "pp" packed in/out, "pf" packed in / fine out (stride-2 only),
     "fp" fine in / packed out (stem).  ``x`` is already in the mode's input
     layout.  ``fine_hw`` gives the fine input H, W (needed to size the
     right-edge padding exactly); defaults to the layout-implied size.
+
+    ``act_scale`` (int8 PTQ composition, `ops/quant.py`): when given, the
+    conv runs on the MXU int8 path — activations per-tensor symmetric
+    int8 at that scale, the PACKED kernel per-output-channel int8, int32
+    accumulation, fused dequant tail.  Because packing is a permutation
+    and the packed kernel is an exact scatter of the fine kernel, each
+    packed output channel's absmax equals its fine channel's absmax and
+    the int8 products are the same products — the packed int8 conv is
+    bit-identical to the fine int8 conv (pinned by test).  This is the
+    composition the round-3 VERDICT asked for: packing multiplies the
+    early stages' channels 4x, which lifts them over the int8 path's
+    channel gate that keeps them bf16 in the fine layout.
     """
     k = w.shape[0]
     if mode == "pp":
@@ -235,6 +247,22 @@ def packed_conv(x, w, stride: int, pad: int, mode: str = "pp",
     ph = (out_h - 1) * s2 + kk - pl - in_h
     pw = (out_w - 1) * s2 + kk - pl - in_w
     assert ph >= 0 and pw >= 0, (ph, pw, mode, k, stride, pad)
+    if act_scale is not None:
+        wp32 = wp.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(wp32), axis=(0, 1, 2))  # [O_packed]
+        s_w = jnp.where(absmax > 0.0, absmax / 127.0, 1.0)
+        q_w = jnp.clip(jnp.round(wp32 / s_w), -127.0, 127.0).astype(jnp.int8)
+        q_x = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / act_scale), -127.0, 127.0
+        ).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            q_x, q_w,
+            window_strides=(s2, s2),
+            padding=[(pl, ph), (pl, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * (act_scale * s_w)).astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x, wp.astype(x.dtype),
         window_strides=(s2, s2),

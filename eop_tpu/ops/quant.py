@@ -224,11 +224,57 @@ def quant_interceptor(
     return interceptor
 
 
+# Active quant config for the PACKED conv path (`ops/packed.py`): the
+# packed early backbone bypasses nn.Conv (its convs are direct
+# lax.conv calls on layout-transformed weights), so the interceptor
+# can't reach it; `BaseConv`'s packed branch queries this context at
+# trace time instead.  contextvars are safe here because interception /
+# tracing happens synchronously inside the `quantized()` block.
+import contextvars
+
+_PACKED_QUANT: contextvars.ContextVar = contextvars.ContextVar(
+    "eop_packed_quant", default=None
+)
+
+
+def packed_act_scale(mod: nn.Module, in_ch: int, out_ch: int):
+    """Activation scale for a packed-layout conv, or None to stay fp.
+
+    ``in_ch`` / ``out_ch`` are the channel counts of the conv ACTUALLY
+    executed (packed dims — what the MXU contracts over), so the
+    ``min_channels`` gate measures real MXU utilization: a fine C=32
+    stage runs 128-channel packed convs and clears the default gate its
+    fine form fails.  Scales are keyed at ``<module>/conv`` — the same
+    key the fine layout's inner ``nn.Conv`` (and the packed kernel
+    holder ``_FocusKernel``) occupy — so one calibration (done in the
+    fine layout, `BaseExp.quantize_for_inference`) serves programs of
+    either layout; absmax is layout-invariant because packing is a
+    permutation."""
+    cfg = _PACKED_QUANT.get()
+    if cfg is None:
+        return None
+    act_scales, min_channels = cfg
+    if min(int(in_ch), int(out_ch)) < min_channels:
+        return None
+    s_x = act_scales.get(_module_path(mod) + "/conv")
+    if s_x is None or s_x <= 0.0:
+        return None
+    return s_x
+
+
 @contextlib.contextmanager
 def quantized(act_scales: Mapping[str, float], min_channels: int = 64):
     """``with quantized(scales): model.apply(...)`` — int8 conv compute.
 
     Must be entered *inside* the traced function (interception happens
-    at trace time)."""
-    with nn.intercept_methods(quant_interceptor(act_scales, min_channels)):
-        yield
+    at trace time).  Covers both conv paths: fine-layout ``nn.Conv``s via
+    the interceptor, packed-layout convs via the `_PACKED_QUANT` context
+    consulted in ``BaseConv``'s packed branch."""
+    token = _PACKED_QUANT.set((dict(act_scales), min_channels))
+    try:
+        with nn.intercept_methods(
+            quant_interceptor(act_scales, min_channels)
+        ):
+            yield
+    finally:
+        _PACKED_QUANT.reset(token)

@@ -180,7 +180,8 @@ def golden_setup():
     for theta, offset in [(30, 0), (50, 0), (70, 0), (90, 0),
                           (60, -50), (60, 50)]:
         canvas, mask = canvases[offset]
-        warped, bbox = dist.sector_distort(canvas, mask, theta=theta)
+        warped, bbox = dist.sector_distort(canvas, mask, theta=theta,
+                                          reference_parity=True)
         images.append(
             (f"th{theta}_off{offset}", warped,
              [float(v) for v in (bbox or [0, 0, 1, 1])])
@@ -204,7 +205,8 @@ def golden_setup():
                    [float(xs.min()), float(ys.min()),
                     float(xs.max() - xs.min()), float(ys.max() - ys.min())]))
     warped2, bbox2 = dist.sector_distort(
-        scene, scene_mask[..., None].repeat(3, axis=2), theta=60
+        scene, scene_mask[..., None].repeat(3, axis=2), theta=60,
+        reference_parity=True,
     )
     images.append(("scene_th60", warped2,
                    [float(v) for v in (bbox2 or [0, 0, 1, 1])]))

@@ -93,14 +93,60 @@ def _scene(seed=0):
 
 @pytest.mark.parametrize("theta", [30, 60, 90])
 def test_sector_distort_parity(theta):
+    """`reference_parity=True` reproduces the reference's forward-splat
+    numerics bit-for-bit (the pixel-golden mode)."""
     img, mask = _scene()
     ref_img, ref_bbox = _RefDistortion().sector_distort(
         img.copy(), mask.copy(), Theta=theta)
     our_img, our_bbox = ImageDistortion().sector_distort(
-        img.copy(), mask.copy(), theta=theta)
+        img.copy(), mask.copy(), theta=theta, reference_parity=True)
     assert our_img.shape == ref_img.shape, (our_img.shape, ref_img.shape)
     np.testing.assert_array_equal(our_img, ref_img)
     assert our_bbox == ref_bbox
+
+
+@pytest.mark.parametrize("theta", [30, 60, 90, 150])
+def test_inverse_vs_splat_agreement(theta):
+    """The owned inverse polar map (the default) describes the same warp
+    as the reference's forward splat: identical output shape (shared
+    int16 crop bounds), near-identical content where the splat actually
+    wrote pixels, close mask bboxes — while being dense (the splat
+    leaves unwritten gray holes between radial runs; the inverse map has
+    none inside the sector)."""
+    # smooth source: bilinear (inverse) and nearest (splat) resampling
+    # agree up to the local gradient, so content comparison is meaningful
+    yy, xx = np.mgrid[0:120, 0:160]
+    # channel 0 stays >= 130 so no resampled value (bilinear = convex
+    # combination) can ever collide with the 114 background marker
+    img = np.stack([
+        130 + xx * 100 / 159, yy * 255 / 119, (xx + yy) * 255 / 278
+    ], axis=-1).astype(np.uint8)
+    _, mask = _scene()
+    splat_img, splat_bbox = ImageDistortion().sector_distort(
+        img.copy(), mask.copy(), theta=theta, reference_parity=True)
+    inv_img, inv_bbox = ImageDistortion().sector_distort(
+        img.copy(), mask.copy(), theta=theta)
+    assert inv_img.shape == splat_img.shape, (
+        inv_img.shape, splat_img.shape)
+    # compare on pixels the splat wrote (not its 114 background/holes)
+    written = np.any(splat_img != 114, axis=-1)
+    assert written.mean() > 0.2, written.mean()
+    diff = np.abs(inv_img.astype(int) - splat_img.astype(int)).max(-1)
+    close = (diff[written] <= 8)
+    assert close.mean() > 0.97, close.mean()
+    # mask bbox: same object described (within a few px of resampling)
+    assert splat_bbox and inv_bbox
+    np.testing.assert_allclose(inv_bbox, splat_bbox, atol=4)
+    # and the inverse map is dense: in the sector INTERIOR (written
+    # region eroded 3 px so the boundary band — where the splat's int16
+    # truncation scatters up to ~2 px past the nominal sector edge — is
+    # excluded) the inverse map leaves zero unwritten pixels, while the
+    # splat leaves holes between its radial runs
+    interior = cv2.erode(written.astype(np.uint8),
+                         np.ones((7, 7), np.uint8)).astype(bool)
+    holes_inv = np.all(inv_img == 114, axis=-1)
+    assert interior.sum() > 1000
+    assert holes_inv[interior].sum() == 0, holes_inv[interior].sum()
 
 
 def test_get_img_mask_offsets():

@@ -37,13 +37,13 @@ def test_infer_model_selection():
     assert e._infer_model(m, 128).packed_early == "train"
     # sharded: the decision is per-device (512 global / 8 devices = 64)
     assert e._infer_model(m, 512, batch_divisor=8).packed_early is True
-    # int8 PTQ forces the fine layout (calibration saw the fine convs;
-    # a packed_early=True model's early segment bypasses nn.Conv and
-    # would silently escape quantization)
+    # int8 PTQ composes with the packed layout (round 4): scale keys are
+    # layout-invariant (`ops/quant.packed_act_scale`), so the batch rule
+    # decides the layout exactly as in the fp path
     assert e._infer_model(m, 8, quant_scales={"x": 1.0}).packed_early \
-        is False
-    assert e._infer_model(m.clone(packed_early=True), 8,
-                          quant_scales={"x": 1.0}).packed_early is False
+        is True
+    assert e._infer_model(m, 128, quant_scales={"x": 1.0}).packed_early \
+        == "train"
     # disabled via the exp knob
     e.packed_infer_max_batch = 0
     assert e._infer_model(m, 1).packed_early == "train"

@@ -50,6 +50,10 @@ def make_parser():
     parser.add_argument("--vis", action="store_true")
     parser.add_argument("--theta-range", type=str, default="30,95,5",
                         help="start,stop,step for the sector sweep")
+    parser.add_argument("--reference-parity", action="store_true",
+                        help="use the reference's forward-splat warp "
+                             "numerics (int16 truncation, splat holes) "
+                             "instead of the default inverse polar map")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return parser
 
@@ -299,7 +303,8 @@ def main():
                 gt_boxes_fm.append(gt_box_fm)
             else:
                 out_img, dis_label = ImageDistortion().sector_distort(
-                    canvas, mask, theta=theta
+                    canvas, mask, theta=theta,
+                    reference_parity=args.reference_parity,
                 )
                 if not dis_label:
                     dis_label = [0, 0, 1, 1]

@@ -1,0 +1,215 @@
+"""Load-test the serving stack (round-4 VERDICT item 6).
+
+Open-loop load generator against ``tools/serve.py``: for each offered
+rate, request send times are fixed on a clock (not gated on responses —
+closed-loop generators hide saturation by slowing down with the server),
+a worker pool posts one image per tick, and the tool reports
+client-observed latency percentiles, achieved throughput, error mix
+(429 = shed load), and the server's own batch-occupancy counters from
+``/v1/stats``.
+
+Usage (server already running):
+    python tools/load_test_serving.py --url http://127.0.0.1:8000 \
+        --rates 50,100,200,400,800 --duration 10
+
+Or spawn + tear down a server around the sweep:
+    python tools/load_test_serving.py --spawn "-f load_eval/yolox_24p_eval.py \
+        --batch 64" --rates ...
+
+Output: one JSON line with the per-rate table (also printed as text to
+stderr).
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import os
+import queue
+import shlex
+import subprocess
+import sys
+import threading
+import time
+import urllib.parse
+import urllib.request
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_parser():
+    p = argparse.ArgumentParser("load_test_serving")
+    p.add_argument("--url", default="http://127.0.0.1:8000")
+    p.add_argument("--spawn", default=None,
+                   help="serve.py arguments; the server is started on "
+                        "--url's port and killed after the sweep")
+    p.add_argument("--rates", default="50,100,200,400,800,1600",
+                   help="offered req/s sweep")
+    p.add_argument("--duration", type=float, default=10.0,
+                   help="seconds per rate step")
+    p.add_argument("--workers", type=int, default=128)
+    p.add_argument("--timeout", type=float, default=30.0,
+                   help="per-request client timeout")
+    p.add_argument("--hw", default="640,640",
+                   help="H,W of the raw test frame")
+    p.add_argument("--jpeg", action="store_true",
+                   help="send JPEG bodies (exercises the server decode "
+                        "path) instead of raw X-Raw-Shape frames")
+    return p
+
+
+def _wait_healthy(url: str, deadline_s: float = 600.0):
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        try:
+            with urllib.request.urlopen(url + "/healthz", timeout=2) as r:
+                if r.status == 200:
+                    return
+        except Exception:
+            time.sleep(1.0)
+    raise RuntimeError(f"server at {url} never became healthy")
+
+
+def _get_stats(url: str) -> dict:
+    with urllib.request.urlopen(url + "/v1/stats", timeout=10) as r:
+        return json.loads(r.read())
+
+
+class _Worker(threading.Thread):
+    """Posts frames at the send times it pulls from the shared schedule."""
+
+    def __init__(self, host, port, path, body, headers, timeout,
+                 schedule, results):
+        super().__init__(daemon=True)
+        self.host, self.port, self.path = host, port, path
+        self.body, self.headers, self.timeout = body, headers, timeout
+        self.schedule, self.results = schedule, results
+        self.conn = None
+
+    def _post_once(self):
+        if self.conn is None:
+            self.conn = http.client.HTTPConnection(
+                self.host, self.port, timeout=self.timeout
+            )
+        self.conn.request("POST", self.path, body=self.body,
+                          headers=self.headers)
+        resp = self.conn.getresponse()
+        resp.read()
+        return resp.status
+
+    def run(self):
+        while True:
+            try:
+                t_send = self.schedule.get_nowait()
+            except queue.Empty:
+                return
+            now = time.perf_counter()
+            if t_send > now:
+                time.sleep(t_send - now)
+            t0 = time.perf_counter()
+            try:
+                status = self._post_once()
+            except Exception:
+                status = -1
+                self.conn = None  # reconnect next time
+            self.results.append(
+                (t_send, time.perf_counter() - t0, status)
+            )
+
+
+def run_rate(url: str, rate: float, duration: float, workers: int,
+             body: bytes, headers: dict, timeout: float) -> dict:
+    parsed = urllib.parse.urlparse(url)
+    n = int(rate * duration)
+    start = time.perf_counter() + 0.5
+    schedule: "queue.Queue[float]" = queue.Queue()
+    for i in range(n):
+        schedule.put(start + i / rate)
+    results: list = []
+    stats0 = _get_stats(url)
+    pool = [
+        _Worker(parsed.hostname, parsed.port or 80, "/v1/detect", body,
+                headers, timeout, schedule, results)
+        for _ in range(min(workers, n))
+    ]
+    for w in pool:
+        w.start()
+    for w in pool:
+        w.join(timeout=duration + timeout + 30)
+    stats1 = _get_stats(url)
+
+    lats = sorted(r[1] for r in results if r[2] == 200)
+    sends = [r[0] for r in results]
+    span = (max(sends) - min(sends)) if len(sends) > 1 else duration
+
+    def pct(q):
+        return round(lats[min(len(lats) - 1, int(q * len(lats)))] * 1e3, 1) \
+            if lats else None
+
+    n_ok = sum(1 for r in results if r[2] == 200)
+    batches = stats1["batches"] - stats0["batches"]
+    served = stats1["requests"] - stats0["requests"]
+    return {
+        "offered_rps": rate,
+        "sent": len(results),
+        "ok": n_ok,
+        "shed_429": sum(1 for r in results if r[2] == 429),
+        "errors": sum(1 for r in results if r[2] not in (200, 429)),
+        "achieved_rps": round(n_ok / max(span, 1e-9), 1),
+        "p50_ms": pct(0.50),
+        "p95_ms": pct(0.95),
+        "p99_ms": pct(0.99),
+        "batch_occupancy": round(served / batches, 1) if batches else None,
+        "server_queue_depth_end": stats1["queue_depth"],
+    }
+
+
+def main():
+    args = make_parser().parse_args()
+    h, w = (int(v) for v in args.hw.split(","))
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+    if args.jpeg:
+        import cv2
+
+        ok, enc = cv2.imencode(".jpg", frame)
+        assert ok
+        body, headers = enc.tobytes(), {"Content-Type": "image/jpeg"}
+    else:
+        body = frame.tobytes()
+        headers = {"X-Raw-Shape": f"{h},{w},3",
+                   "Content-Type": "application/octet-stream"}
+
+    proc = None
+    try:
+        if args.spawn:
+            port = urllib.parse.urlparse(args.url).port or 8000
+            cmd = [sys.executable, os.path.join(REPO, "tools", "serve.py"),
+                   *shlex.split(args.spawn), "--port", str(port)]
+            print("spawning:", " ".join(cmd), file=sys.stderr)
+            proc = subprocess.Popen(cmd, cwd=REPO)
+        _wait_healthy(args.url)
+
+        table = []
+        for rate in (float(r) for r in args.rates.split(",")):
+            row = run_rate(args.url, rate, args.duration, args.workers,
+                           body, headers, args.timeout)
+            table.append(row)
+            print(" ".join(f"{k}={v}" for k, v in row.items()),
+                  file=sys.stderr)
+            time.sleep(1.0)  # drain between steps
+        print(json.dumps(table))
+    finally:
+        if proc is not None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+
+
+if __name__ == "__main__":
+    main()

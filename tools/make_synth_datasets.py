@@ -43,14 +43,34 @@ def make_coco(root: str, size: int, n_train: int, n_val: int, seed: int):
                 x = rng.randint(0, size - bw)
                 y = rng.randint(0, size - bh)
                 cat = int(rng.choice([1, 2, 3]))
-                cv2.rectangle(
-                    img, (x, y), (x + bw, y + bh), COLORS[cat - 1], -1
-                )
+                # draw + segment as a polygon so downstream mask consumers
+                # (tools/labels_create_24p.py ray-casting, the featuremap
+                # harness's annToMask re-rendering) work on this set too;
+                # rectangles for cat 1/3, an ellipse for cat 2 so the 24p
+                # radii aren't all box-shaped
+                if cat == 2:
+                    cx, cy = x + bw / 2.0, y + bh / 2.0
+                    ang = np.linspace(0, 2 * np.pi, 20, endpoint=False)
+                    px = cx + (bw / 2.0) * np.cos(ang)
+                    py = cy + (bh / 2.0) * np.sin(ang)
+                    pts = np.stack([px, py], 1)
+                    cv2.fillPoly(img, [pts.astype(np.int32)],
+                                 COLORS[cat - 1])
+                    seg = [float(v) for v in pts.reshape(-1)]
+                    area = float(np.pi * (bw / 2.0) * (bh / 2.0))
+                else:
+                    cv2.rectangle(
+                        img, (x, y), (x + bw, y + bh), COLORS[cat - 1], -1
+                    )
+                    seg = [float(x), float(y), float(x + bw), float(y),
+                           float(x + bw), float(y + bh),
+                           float(x), float(y + bh)]
+                    area = float(bw * bh)
                 annotations.append({
                     "id": ann_id, "image_id": img_id, "category_id": cat,
                     "bbox": [float(x), float(y), float(bw), float(bh)],
-                    "area": float(bw * bh), "iscrowd": 0,
-                    "segmentation": [],
+                    "area": area, "iscrowd": 0,
+                    "segmentation": [seg],
                 })
                 ann_id += 1
             cv2.imwrite(f"{root}/{name}/{fname}", img)
