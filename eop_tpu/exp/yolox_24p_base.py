@@ -288,6 +288,21 @@ class Exp24P(BaseExp):
 
         return jax.jit(self._infer_body(model, variables))
 
+    def eval(self, model, variables, evaluator, is_distributed=False,
+             time_split=False, quant_scales=None, quant_min_channels=64):
+        """Evaluate like the bbox base (`yolox_base.py::eval`) so
+        `tools/eval.py` drives both families identically; ``time_split``
+        has no 24p decode-only probe and is accepted-and-ignored.
+        ``quant_scales`` runs the int8 PTQ path (pass the deploy
+        variables from ``quantize_for_inference``)."""
+        import jax
+
+        del time_split  # no forward-vs-NMS split probe for this family
+        infer_fn = jax.jit(self._infer_body(
+            model, variables, quant_scales, quant_min_channels
+        ))
+        return evaluator.evaluate(infer_fn, is_distributed)
+
     def _infer_body(self, model, variables, quant_scales=None,
                     quant_min_channels=64, batch_divisor=1):
         """Unjitted forward + decode + polygon-NMS body (shared by the

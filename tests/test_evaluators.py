@@ -292,3 +292,57 @@ def test_coco_evaluator_distributed_single_process(coco_val_dir):
     ap5095, ap50, _ = evaluator.evaluate(Oracle(), distributed=True)
     assert ap50 == pytest.approx(1.0, abs=1e-6)
     assert ap5095 == pytest.approx(1.0, abs=1e-2)
+
+
+def test_exp24p_eval_entrypoint(tmp_path):
+    """`Exp24P.eval` (the tools/eval.py entry, round 4 — the 24p family
+    previously fell through to BaseExp.eval's NotImplementedError the
+    moment eval.py passed its kwargs): drives the real jitted infer body
+    through the evaluator, accepting the bbox-signature kwargs."""
+    import jax
+    import jax.numpy as jnp
+
+    from eop_tpu.data.coco24p import TrainTransform24P
+    from eop_tpu.exp.yolox_24p_base import Exp24P
+    from eop_tpu.models import init_model
+    from eop_tpu.ops.polygon import ANGLES
+
+    rng = np.random.RandomState(1)
+    img_dir = tmp_path / "imgs"
+    lab_dir = tmp_path / "labels"
+    img_dir.mkdir(); lab_dir.mkdir()
+    for img_id in range(1, 3):
+        cv2.imwrite(str(img_dir / f"{img_id:012}.jpg"),
+                    rng.randint(0, 255, (96, 96, 3), dtype=np.uint8))
+        cx, cy = 48.0, 48.0
+        r = np.full(24, 20.0)
+        row = [0, cx / 96, cy / 96]
+        for px, py in zip((cx + r * np.cos(ANGLES)) / 96,
+                          (cy + r * np.sin(ANGLES)) / 96):
+            row += [px, py]
+        (lab_dir / f"{img_id:012}.txt").write_text(
+            " ".join(f"{v:.6f}" for v in row) + "\n")
+
+    class TinyExp(Exp24P):
+        def __init__(self):
+            super().__init__()
+            self.num_classes = 3
+            self.depth, self.width = 0.33, 0.25
+            self.input_size = self.test_size = (96, 96)
+            self.test_conf = 0.01
+            self.data_num_workers = 0
+
+    exp = TinyExp()
+    exp.data_dir = str(img_dir)
+    exp.label_dir = str(lab_dir)
+    model = exp.get_model()
+    variables = init_model(model, jax.random.PRNGKey(0),
+                           jnp.zeros((1, 96, 96, 3), jnp.float32))
+    evaluator = exp.get_evaluator(batch_size=2)
+    # the exact kwargs tools/eval.py passes (time_split accepted+ignored)
+    ap5095, ap50, summary = exp.eval(
+        model, variables, evaluator, time_split=True,
+        quant_scales=None, quant_min_channels=64,
+    )
+    assert np.isfinite(ap5095) and np.isfinite(ap50)
+    assert isinstance(summary, str)

@@ -79,10 +79,17 @@ def main():
         exp.test_size = (args.tsize, args.tsize)
 
     model, variables = load_variables(exp, args)
-    evaluator = exp.get_evaluator(
-        batch_size=args.batch_size, testdev=args.testdev,
-        legacy=args.legacy,
-    )
+    # the 24p family's get_evaluator takes no testdev/legacy (those are
+    # COCO-bbox notions); pass only what the exp's signature accepts
+    import inspect
+
+    accepted = inspect.signature(exp.get_evaluator).parameters
+    extra_kw = {
+        k: v for k, v in
+        (("testdev", args.testdev), ("legacy", args.legacy))
+        if k in accepted
+    }
+    evaluator = exp.get_evaluator(batch_size=args.batch_size, **extra_kw)
     evaluator.per_class_AP = args.per_class_ap
     quant_scales = None
     if args.int8:

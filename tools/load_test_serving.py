@@ -51,8 +51,14 @@ def make_parser():
     p.add_argument("--duration", type=float, default=10.0,
                    help="seconds per rate step")
     p.add_argument("--workers", type=int, default=128)
+    p.add_argument("--procs", type=int, default=1,
+                   help="split the offered load over N generator "
+                        "processes (one python process tops out around "
+                        "500-1000 rps of 1 MB posts on the GIL)")
     p.add_argument("--timeout", type=float, default=30.0,
                    help="per-request client timeout")
+    p.add_argument("--_emit-samples", action="store_true",
+                   help=argparse.SUPPRESS)
     p.add_argument("--hw", default="640,640",
                    help="H,W of the raw test frame")
     p.add_argument("--jpeg", action="store_true",
@@ -120,16 +126,17 @@ class _Worker(threading.Thread):
             )
 
 
-def run_rate(url: str, rate: float, duration: float, workers: int,
-             body: bytes, headers: dict, timeout: float) -> dict:
+def _generate(url: str, rate: float, duration: float, workers: int,
+              body: bytes, headers: dict, timeout: float) -> list:
+    """Run the open-loop schedule in THIS process; return raw samples
+    ``(t_send, latency_s, status)``."""
     parsed = urllib.parse.urlparse(url)
-    n = int(rate * duration)
+    n = max(1, int(rate * duration))
     start = time.perf_counter() + 0.5
     schedule: "queue.Queue[float]" = queue.Queue()
     for i in range(n):
         schedule.put(start + i / rate)
     results: list = []
-    stats0 = _get_stats(url)
     pool = [
         _Worker(parsed.hostname, parsed.port or 80, "/v1/detect", body,
                 headers, timeout, schedule, results)
@@ -139,11 +146,36 @@ def run_rate(url: str, rate: float, duration: float, workers: int,
         w.start()
     for w in pool:
         w.join(timeout=duration + timeout + 30)
+    return results
+
+
+def run_rate(url: str, rate: float, duration: float, workers: int,
+             body: bytes, headers: dict, timeout: float, procs: int,
+             child_argv) -> dict:
+    stats0 = _get_stats(url)
+    if procs <= 1:
+        results = _generate(url, rate, duration, workers, body, headers,
+                            timeout)
+    else:
+        children = [
+            subprocess.Popen(
+                child_argv + ["--rates", str(rate / procs),
+                              "--workers", str(max(8, workers // procs)),
+                              "--_emit-samples"],
+                stdout=subprocess.PIPE, cwd=REPO,
+            )
+            for _ in range(procs)
+        ]
+        results = []
+        for c in children:
+            out, _ = c.communicate(timeout=duration + timeout + 60)
+            results.extend(tuple(s) for s in json.loads(out))
     stats1 = _get_stats(url)
 
     lats = sorted(r[1] for r in results if r[2] == 200)
-    sends = [r[0] for r in results]
-    span = (max(sends) - min(sends)) if len(sends) > 1 else duration
+    # open-loop: the send schedule spans exactly `duration` by
+    # construction (and per-process clock bases differ under --procs)
+    span = duration
 
     def pct(q):
         return round(lats[min(len(lats) - 1, int(q * len(lats)))] * 1e3, 1) \
@@ -183,6 +215,19 @@ def main():
         headers = {"X-Raw-Shape": f"{h},{w},3",
                    "Content-Type": "application/octet-stream"}
 
+    if getattr(args, "_emit_samples"):
+        rate = float(args.rates)
+        results = _generate(args.url, rate, args.duration, args.workers,
+                            body, headers, args.timeout)
+        print(json.dumps([[r[0], r[1], r[2]] for r in results]))
+        return
+
+    child_argv = [
+        sys.executable, os.path.abspath(__file__),
+        "--url", args.url, "--duration", str(args.duration),
+        "--hw", args.hw, "--timeout", str(args.timeout),
+    ] + (["--jpeg"] if args.jpeg else [])
+
     proc = None
     try:
         if args.spawn:
@@ -196,7 +241,8 @@ def main():
         table = []
         for rate in (float(r) for r in args.rates.split(",")):
             row = run_rate(args.url, rate, args.duration, args.workers,
-                           body, headers, args.timeout)
+                           body, headers, args.timeout, args.procs,
+                           child_argv)
             table.append(row)
             print(" ".join(f"{k}={v}" for k, v in row.items()),
                   file=sys.stderr)
