@@ -70,6 +70,14 @@ def make_http_server(service, host: str = "0.0.0.0", port: int = 8000,
     import cv2
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: the default HTTP/1.0 closes the socket
+        # after every response, so a client reusing its connection loses
+        # one request per reconnect and every request pays a TCP
+        # handshake (found by tools/load_test_serving.py: hundreds of
+        # client-side resets per 8 s step at 100+ rps).  Every response
+        # sets Content-Length, which 1.1 keep-alive requires.
+        protocol_version = "HTTP/1.1"
+
         # keep the default request logging out of the hot path
         def log_message(self, fmt, *args):  # noqa: D102
             pass

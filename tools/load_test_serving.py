@@ -48,6 +48,13 @@ def make_parser():
                         "--url's port and killed after the sweep")
     p.add_argument("--rates", default="50,100,200,400,800,1600",
                    help="offered req/s sweep")
+    p.add_argument("--closed", default=None,
+                   help="comma list of concurrency levels: run "
+                        "CLOSED-loop saturation steps (N workers send "
+                        "back-to-back) instead of the open-loop rate "
+                        "sweep — the right capacity probe when the load "
+                        "generator shares the host's core budget with "
+                        "the server")
     p.add_argument("--duration", type=float, default=10.0,
                    help="seconds per rate step")
     p.add_argument("--workers", type=int, default=128)
@@ -57,6 +64,10 @@ def make_parser():
                         "500-1000 rps of 1 MB posts on the GIL)")
     p.add_argument("--timeout", type=float, default=30.0,
                    help="per-request client timeout")
+    p.add_argument("--health-timeout", type=float, default=1800.0,
+                   help="seconds to wait for the (spawned) server to "
+                        "become healthy — a cold serving-program compile "
+                        "takes many minutes on this host")
     p.add_argument("--_emit-samples", action="store_true",
                    help=argparse.SUPPRESS)
     p.add_argument("--hw", default="640,640",
@@ -106,6 +117,11 @@ class _Worker(threading.Thread):
         resp.read()
         return resp.status
 
+    LATE_CAP_S = 5.0  # wrk2-style: a tick this far past due is recorded
+    # as client-dropped instead of sent — with finite workers a saturated
+    # server would otherwise turn the open-loop schedule into a closed
+    # loop that never drains
+
     def run(self):
         while True:
             try:
@@ -115,6 +131,9 @@ class _Worker(threading.Thread):
             now = time.perf_counter()
             if t_send > now:
                 time.sleep(t_send - now)
+            elif now - t_send > self.LATE_CAP_S:
+                self.results.append((t_send, 0.0, -2))  # dropped late
+                continue
             t0 = time.perf_counter()
             try:
                 status = self._post_once()
@@ -149,6 +168,66 @@ def _generate(url: str, rate: float, duration: float, workers: int,
     return results
 
 
+class _ClosedWorker(threading.Thread):
+    """Sends back-to-back until the deadline (closed loop)."""
+
+    def __init__(self, host, port, body, headers, timeout, deadline,
+                 results):
+        super().__init__(daemon=True)
+        self.w = _Worker(host, port, "/v1/detect", body, headers, timeout,
+                         queue.Queue(), results)
+        self.deadline = deadline
+        self.results = results
+
+    def run(self):
+        while time.perf_counter() < self.deadline:
+            t0 = time.perf_counter()
+            try:
+                status = self.w._post_once()
+            except Exception:
+                status = -1
+                self.w.conn = None
+            self.results.append((t0, time.perf_counter() - t0, status))
+
+
+def run_closed(url: str, concurrency: int, duration: float, body: bytes,
+               headers: dict, timeout: float) -> dict:
+    parsed = urllib.parse.urlparse(url)
+    stats0 = _get_stats(url)
+    results: list = []
+    deadline = time.perf_counter() + duration
+    pool = [
+        _ClosedWorker(parsed.hostname, parsed.port or 80, body, headers,
+                      timeout, deadline, results)
+        for _ in range(concurrency)
+    ]
+    for w in pool:
+        w.start()
+    for w in pool:
+        w.join(timeout=duration + timeout + 30)
+    stats1 = _get_stats(url)
+    lats = sorted(r[1] for r in results if r[2] == 200)
+
+    def pct(q):
+        return round(lats[min(len(lats) - 1, int(q * len(lats)))] * 1e3, 1) \
+            if lats else None
+
+    n_ok = sum(1 for r in results if r[2] == 200)
+    batches = stats1["batches"] - stats0["batches"]
+    served = stats1["requests"] - stats0["requests"]
+    return {
+        "concurrency": concurrency,
+        "ok": n_ok,
+        "shed_429": sum(1 for r in results if r[2] == 429),
+        "errors": sum(1 for r in results if r[2] not in (200, 429)),
+        "throughput_rps": round(n_ok / duration, 1),
+        "p50_ms": pct(0.50),
+        "p95_ms": pct(0.95),
+        "p99_ms": pct(0.99),
+        "batch_occupancy": round(served / batches, 1) if batches else None,
+    }
+
+
 def run_rate(url: str, rate: float, duration: float, workers: int,
              body: bytes, headers: dict, timeout: float, procs: int,
              child_argv) -> dict:
@@ -168,7 +247,9 @@ def run_rate(url: str, rate: float, duration: float, workers: int,
         ]
         results = []
         for c in children:
-            out, _ = c.communicate(timeout=duration + timeout + 60)
+            out, _ = c.communicate(
+                timeout=duration + timeout + _Worker.LATE_CAP_S + 90
+            )
             results.extend(tuple(s) for s in json.loads(out))
     stats1 = _get_stats(url)
 
@@ -189,7 +270,9 @@ def run_rate(url: str, rate: float, duration: float, workers: int,
         "sent": len(results),
         "ok": n_ok,
         "shed_429": sum(1 for r in results if r[2] == 429),
-        "errors": sum(1 for r in results if r[2] not in (200, 429)),
+        "client_dropped_late": sum(1 for r in results if r[2] == -2),
+        "errors": sum(1 for r in results
+                      if r[2] not in (200, 429, -2)),
         "achieved_rps": round(n_ok / max(span, 1e-9), 1),
         "p50_ms": pct(0.50),
         "p95_ms": pct(0.95),
@@ -232,21 +315,38 @@ def main():
     try:
         if args.spawn:
             port = urllib.parse.urlparse(args.url).port or 8000
+            # --port must precede the user's args: serve.py's trailing
+            # `opts` is an argparse REMAINDER, so anything appended after
+            # positional overrides would be swallowed into it
             cmd = [sys.executable, os.path.join(REPO, "tools", "serve.py"),
-                   *shlex.split(args.spawn), "--port", str(port)]
+                   "--port", str(port), *shlex.split(args.spawn)]
             print("spawning:", " ".join(cmd), file=sys.stderr)
             proc = subprocess.Popen(cmd, cwd=REPO)
-        _wait_healthy(args.url)
+        _wait_healthy(args.url, args.health_timeout)
+
+        # discarded warm pass: touches the bucket programs (first use of
+        # a cached-compile program still pays a load) so the measured
+        # steps see steady-state dispatch
+        run_closed(args.url, 8, 4.0, body, headers, args.timeout)
 
         table = []
-        for rate in (float(r) for r in args.rates.split(",")):
-            row = run_rate(args.url, rate, args.duration, args.workers,
-                           body, headers, args.timeout, args.procs,
-                           child_argv)
-            table.append(row)
-            print(" ".join(f"{k}={v}" for k, v in row.items()),
-                  file=sys.stderr)
-            time.sleep(1.0)  # drain between steps
+        if args.closed:
+            for n in (int(v) for v in args.closed.split(",")):
+                row = run_closed(args.url, n, args.duration, body,
+                                 headers, args.timeout)
+                table.append(row)
+                print(" ".join(f"{k}={v}" for k, v in row.items()),
+                      file=sys.stderr)
+                time.sleep(1.0)
+        else:
+            for rate in (float(r) for r in args.rates.split(",")):
+                row = run_rate(args.url, rate, args.duration,
+                               args.workers, body, headers, args.timeout,
+                               args.procs, child_argv)
+                table.append(row)
+                print(" ".join(f"{k}={v}" for k, v in row.items()),
+                      file=sys.stderr)
+                time.sleep(1.0)  # drain between steps
         print(json.dumps(table))
     finally:
         if proc is not None:
