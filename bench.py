@@ -150,12 +150,11 @@ def main():
     )
     vars_sq = {"params": fused_sp, "batch_stats": fused_ss}
 
-    # gate 64: the stable best for THIS (fused-postprocess) program —
-    # measured 10.5/10.9 ms across runs.  Gate 32 is faster with the
-    # plain postprocess (10.0 ms, tools/bench_quant_packed.py) but
-    # reproducibly ~15-16 ms when composed with the fused top-k
-    # postprocess (an XLA fusion interaction; table + note in
-    # BASELINE.md "int8 channel-gate sweep")
+    # gate 64: gates 32 and 64 are a wash in same-session side-by-side
+    # probes (9.81 vs 9.92 ms fused; the cross-session spreads that
+    # briefly suggested otherwise were tunnel/chip throughput drift —
+    # BASELINE.md "Measurement-integrity note"); 64 is also the setting
+    # the accuracy numbers were first measured at
     S_GATE = 64
 
     @jax.jit
