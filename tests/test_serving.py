@@ -435,3 +435,36 @@ def test_http_concurrent_requests_batch_together(http_server):
     # strictly fewer batches than requests (the 5 ms window on a 1-core
     # box reliably groups at least one pair)
     assert n_bat < n_req, f"{n_bat} batches for {n_req} requests"
+
+
+def test_http_keepalive_connection_reuse(http_server):
+    """HTTP/1.1 keep-alive (round 4, found by the serving load test): a
+    client reusing ONE connection must complete several requests.  Under
+    the previous HTTP/1.0 behavior the server closed the socket after
+    each response, so the second request on the same connection failed
+    with a reset/BadStatusLine and load generators lost one request per
+    reconnect."""
+    import http.client
+
+    import cv2
+
+    base = http_server
+    host = base.split("//", 1)[1]
+    img = np.random.RandomState(9).randint(0, 255, (40, 64, 3), np.uint8)
+    body = cv2.imencode(".jpg", img)[1].tobytes()
+    conn = http.client.HTTPConnection(host, timeout=60)
+    try:
+        for i in range(3):
+            conn.request("POST", "/v1/detect", body=body)
+            resp = conn.getresponse()
+            payload = json.loads(resp.read())
+            assert resp.status == 200, (i, payload)
+            assert resp.version == 11, "server must speak HTTP/1.1"
+            assert "detections" in payload
+        # stats over the same connection too
+        conn.request("GET", "/v1/stats")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        json.loads(resp.read())
+    finally:
+        conn.close()
