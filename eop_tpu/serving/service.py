@@ -24,6 +24,7 @@ per-image torch (`/root/reference/yolox_24p/show_24p.py:266-305`).
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -103,11 +104,44 @@ class DetectionService:
             (1, *self.src_hw, 3), PAD_VALUE, np.uint8
         )
         self._bucket_hits = {b: 0 for b in self.buckets}
+        # Background warmup (round 4; same design as the trainers'
+        # multiscale prewarm, train/prewarm.py): a cold start used to
+        # compile every bucket program serially before accepting a single
+        # request — measured ~25 min for 7 buckets of the 24p-s fused
+        # serving program on the build host.  Now only the LARGEST bucket
+        # (which can serve any partial batch by padding) compiles before
+        # the service reports ready; the rest compile on a daemon thread,
+        # and dispatch pads to the smallest bucket that is both big
+        # enough and already compiled.
+        self._warm_lock = threading.Lock()
+        self._warm: set = set()
         if warmup:
-            for b in self.buckets:  # compile before requests land
-                self._device_call(
-                    np.zeros((b, *self.src_hw, 3), np.uint8)
-                )
+            self._device_call(
+                np.zeros((self.batch, *self.src_hw, 3), np.uint8)
+            )
+            with self._warm_lock:
+                self._warm.add(self.batch)
+
+            def _warm_rest():
+                for b in self.buckets:
+                    with self._warm_lock:
+                        if b in self._warm:
+                            continue
+                    try:
+                        self._device_call(
+                            np.zeros((b, *self.src_hw, 3), np.uint8)
+                        )
+                    except Exception:
+                        continue  # the largest bucket still serves
+                    with self._warm_lock:
+                        self._warm.add(b)
+
+            threading.Thread(target=_warm_rest, name="eop-serve-warm",
+                             daemon=True).start()
+        else:
+            # no warmup: every bucket is fair game (first use compiles
+            # lazily, blocking that batch) — the test-friendly mode
+            self._warm.update(self.buckets)
         # each queued request pins a full src_hw canvas on the host, so
         # the queue must be bounded in BYTES too (256 queued 4K canvases
         # are ~6.4 GB — a count bound alone under-protects); default 1 GiB
@@ -179,12 +213,30 @@ class DetectionService:
                                     timeout=timeout,
                                     cost=self._canvas_bytes)
 
+    def wait_warm(self, timeout: Optional[float] = None) -> bool:
+        """Block until every bucket program is compiled (or ``timeout``
+        seconds elapse); returns whether all are warm.  The service is
+        usable before this — cold buckets just pad up to the largest."""
+        import time as _time
+
+        deadline = None if timeout is None else _time.time() + timeout
+        while True:
+            with self._warm_lock:
+                if len(self._warm) == len(self.buckets):
+                    return True
+            if deadline is not None and _time.time() >= deadline:
+                return False
+            _time.sleep(0.05)
+
     def stats(self) -> dict:
         s = self._batcher.stats()
+        with self._warm_lock:
+            warm = sorted(self._warm)
         s.update(src_hw=list(self.src_hw), test_size=list(self.test_size),
                  class_names=bool(self.class_names),
                  bucket_hits={str(k): v
-                              for k, v in self._bucket_hits.items() if v})
+                              for k, v in self._bucket_hits.items() if v},
+                 warm_buckets=warm)
         return s
 
     def close(self) -> None:
@@ -203,7 +255,12 @@ class DetectionService:
 
     def _run_batch(self, items) -> List[List[dict]]:
         n = len(items)
-        bucket = next(b for b in self.buckets if b >= n)
+        with self._warm_lock:
+            warm = self._warm.copy()
+        # smallest bucket that fits AND is compiled; the largest bucket
+        # is always warm, so a cold start pads to it rather than jitting
+        # mid-request
+        bucket = next(b for b in self.buckets if b >= n and b in warm)
         self._bucket_hits[bucket] += 1
         canvases = np.concatenate(
             [c[None] for c, _ in items]

@@ -191,6 +191,9 @@ def svc_24p():
         exp, model, variables, batch=2, src_hw=(48, 80),
         max_wait_ms=1.0, class_names=["a", "b", "c"],
     )
+    # the steady-state contract (tight-bucket dispatch, bucket-exact
+    # mapping parity) needs every bucket compiled, not just the largest
+    assert svc.wait_warm(timeout=300)
     yield svc, exp, model, variables
     svc.close()
 
@@ -259,6 +262,7 @@ def test_service_bbox_family_and_input_validation():
         exp, model, variables, batch=2, max_wait_ms=1.0
     )
     try:
+        assert svc.wait_warm(timeout=300)  # tight-bucket dispatch below
         img = np.random.RandomState(3).randint(0, 255, (64, 64, 3), np.uint8)
         dets = svc.detect(img)
         assert dets
@@ -468,3 +472,56 @@ def test_http_keepalive_connection_reuse(http_server):
         json.loads(resp.read())
     finally:
         conn.close()
+
+
+def test_background_bucket_warmup():
+    """Round 4: only the LARGEST bucket compiles before the service is
+    ready (it can serve any partial batch by padding); the rest warm on
+    a background thread and dispatch pads to the smallest bucket that is
+    both big enough and already compiled.  (A cold start previously
+    compiled every bucket serially — ~25 min for 7 buckets of the fused
+    serving program on the build host.)"""
+    from eop_tpu.serving.service import DetectionService
+
+    gate = threading.Event()
+    calls = []
+
+    def fake_serve(canvases):
+        b = canvases.shape[0]
+        calls.append(b)
+        if b != 8 and not gate.is_set():
+            # background warmup calls block here until released
+            gate.wait(timeout=30)
+        return {
+            "rows": np.zeros((b, 4, 29), np.float32),
+            "valid": np.zeros((b, 4), bool),
+        }
+
+    svc = DetectionService(
+        fake_serve, batch=8, src_hw=(32, 32), test_size=(32, 32),
+        max_wait_ms=1.0, warmup=True,
+    )
+    try:
+        # ready immediately after the largest bucket compiled
+        assert calls[0] == 8
+        assert 8 in svc.stats()["warm_buckets"]
+        # a single request while small buckets are still cold pads to 8
+        img = np.zeros((20, 20, 3), np.uint8)
+        svc.detect(img)
+        hits = {int(k): v for k, v in svc.stats()["bucket_hits"].items()}
+        assert hits.get(8, 0) >= 1 and hits.get(1, 0) == 0
+        # release the background warmup; all buckets become warm
+        gate.set()
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if svc.stats()["warm_buckets"] == [1, 2, 4, 8]:
+                break
+            time.sleep(0.05)
+        assert svc.stats()["warm_buckets"] == [1, 2, 4, 8]
+        # now a single request uses the tight bucket
+        svc.detect(img)
+        hits = {int(k): v for k, v in svc.stats()["bucket_hits"].items()}
+        assert hits.get(1, 0) == 1
+    finally:
+        gate.set()
+        svc.close()

@@ -154,8 +154,15 @@ def main():
     print(f"serving on http://{args.host}:{args.port}  "
           f"batch={service.batch} src_hw={service.src_hw} "
           f"test_size={service.test_size} "
-          f"window={args.max_wait_ms}ms")
-    print("  POST /v1/detect (image bytes) | GET /v1/stats | GET /healthz")
+          f"window={args.max_wait_ms}ms", flush=True)
+    print("  POST /v1/detect (image bytes) | GET /v1/stats | GET /healthz",
+          flush=True)
+    warm = service.stats().get("warm_buckets", [])
+    if len(warm) < len(getattr(service, "buckets", warm)):
+        print(f"  bucket programs warm: {warm} of {service.buckets} — "
+              "the rest compile in the background (requests pad to the "
+              "largest warm bucket meanwhile; progress in /v1/stats)",
+              flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
