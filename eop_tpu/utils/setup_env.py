@@ -55,10 +55,39 @@ def configure_tpu():
     return None
 
 
-def enable_compile_cache(cache_dir=None):
+def cpu_cache_key() -> str:
+    """Short fingerprint of this host's CPU feature set.
+
+    XLA-CPU's persistent cache stores AOT-compiled machine code; loading
+    an artifact compiled on a CPU with different features emits
+    `cpu_aot_loader` errors (and risks SIGILL).  Keying the cache dir by
+    the feature flags makes a foreign machine compile cold into its own
+    subdir instead of tripping over artifacts this host built.
+    """
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{flags}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
+def enable_compile_cache(cache_dir=None, per_cpu: bool = False):
     """Persist XLA compiles (multiscale training touches many shape
     buckets; each 640 px step costs minutes to compile over a device
-    tunnel).  Shared by both trainers."""
+    tunnel).  Shared by both trainers.
+
+    ``per_cpu=True`` appends a CPU-feature fingerprint subdir — use for
+    CPU-backend caches that may travel between machines (see
+    :func:`cpu_cache_key`)."""
     import os
 
     import jax
@@ -67,8 +96,11 @@ def enable_compile_cache(cache_dir=None):
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.getcwd(), ".jax_cache"),
     )
+    if per_cpu:
+        cache_dir = os.path.join(cache_dir, f"cpu-{cpu_cache_key()}")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+    return cache_dir
