@@ -4,4 +4,5 @@ from .batcher import (
     QueueFullError,
 )
 from .http import make_http_server
+from .http_async import AsyncHTTPServer, make_async_http_server
 from .service import DetectionService

@@ -48,6 +48,9 @@ class _Pending:
     error: Optional[BaseException] = None
     t_enqueue: float = 0.0
     cost: float = 0.0
+    # completion callback (submit_nowait): called exactly once with
+    # (result, error) from the dispatcher thread after the batch settles
+    callback: Optional[Callable[[Any, Optional[BaseException]], None]] = None
 
 
 class DynamicBatcher:
@@ -134,6 +137,40 @@ class DynamicBatcher:
             raise p.error
         return p.result
 
+    def submit_nowait(
+        self, item: Any,
+        callback: Callable[[Any, Optional[BaseException]], None],
+        cost: float = 0.0,
+    ) -> None:
+        """Enqueue ``item`` without blocking; ``callback(result, error)``
+        fires exactly once from the dispatcher thread when its batch
+        settles (``error`` is the batch exception, or a
+        ``BatcherClosedError`` if the batcher closes first).
+
+        Admission failures (``QueueFullError`` / ``BatcherClosedError``)
+        are raised synchronously — the callback is NOT invoked for them.
+        The event-loop front end (http_async.py) builds on this: no
+        thread is parked per in-flight request.
+        """
+        p = _Pending(item=item, t_enqueue=time.perf_counter(), cost=cost,
+                     callback=callback)
+        with self._lock:
+            if self._closed:
+                raise BatcherClosedError("batcher is closed")
+            if (self._max_cost is not None and self._cost_used > 0
+                    and self._cost_used + cost > self._max_cost):
+                raise QueueFullError(
+                    f"queued request cost at capacity "
+                    f"({self._cost_used:.0f}+{cost:.0f} > {self._max_cost:.0f})"
+                )
+            try:
+                self._q.put_nowait(p)
+            except queue.Full:
+                raise QueueFullError(
+                    f"request queue at capacity ({self._q.maxsize})"
+                ) from None
+            self._cost_used += cost
+
     def stats(self) -> dict:
         with self._lock:
             lat = sorted(self._lat_ring)
@@ -169,6 +206,11 @@ class DynamicBatcher:
                 break
             p.error = BatcherClosedError("batcher closed")
             p.done.set()
+            if p.callback is not None:
+                try:
+                    p.callback(None, p.error)
+                except Exception:  # noqa: BLE001
+                    pass
 
     # --------------------------------------------------------- dispatcher
 
@@ -222,3 +264,8 @@ class DynamicBatcher:
                     del self._lat_ring[:-512]
             for p in batch:
                 p.done.set()
+                if p.callback is not None:
+                    try:
+                        p.callback(p.result, p.error)
+                    except Exception:  # noqa: BLE001 — a bad callback must
+                        pass           # not take down the dispatcher

@@ -63,11 +63,50 @@ def _declared_dims(buf: bytes):
     return None
 
 
+def decode_request_image(raw: bytes, shape_hdr):
+    """Request body -> ``(img, None)`` or ``(None, (status, payload))``.
+
+    ``shape_hdr`` is the ``X-Raw-Shape`` header value (raw uint8 HWC fast
+    path) or None (JPEG/PNG/BMP body, bomb-checked before decode).
+    Shared by the threaded and event-loop front ends.
+    """
+    import cv2
+
+    if shape_hdr:
+        try:
+            shape = tuple(int(v) for v in shape_hdr.split(","))
+            if len(shape) != 3 or shape[2] != 3:
+                raise ValueError(shape_hdr)
+            img = np.frombuffer(raw, np.uint8).reshape(shape)
+        except ValueError:
+            return None, (400, {
+                "error": f"X-Raw-Shape {shape_hdr!r} does not describe "
+                         f"the {len(raw)}-byte body as uint8 [H,W,3]",
+            })
+        return img, None
+    # reject decompression bombs BEFORE decoding: the body cap does not
+    # bound the decoded allocation
+    dims = _declared_dims(raw)
+    if dims is None:
+        return None, (400, {
+            "error": "unsupported or corrupt image format "
+                     "(JPEG/PNG/BMP, or raw + X-Raw-Shape)",
+        })
+    if dims[0] * dims[1] > MAX_PIXELS:
+        return None, (413, {
+            "error": f"image {dims[0]}x{dims[1]} exceeds "
+                     f"{MAX_PIXELS} decoded pixels",
+        })
+    img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        return None, (400, {"error": "could not decode image"})
+    return img, None
+
+
 def make_http_server(service, host: str = "0.0.0.0", port: int = 8000,
                      max_body: int = MAX_BODY_BYTES) -> ThreadingHTTPServer:
     """Build (not start) a ``ThreadingHTTPServer`` serving ``service``.
     Call ``.serve_forever()`` (or ``.shutdown()`` from another thread)."""
-    import cv2
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 keep-alive: the default HTTP/1.0 closes the socket
@@ -87,6 +126,11 @@ def make_http_server(service, host: str = "0.0.0.0", port: int = 8000,
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # advertise the close (set on error paths that leave the
+                # declared body unread — ADVICE r4) so keep-alive clients
+                # reconnect instead of reusing a desynced connection
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -105,51 +149,28 @@ def make_http_server(service, host: str = "0.0.0.0", port: int = 8000,
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except ValueError:
+                # the body boundary is unknowable — the unread bytes would
+                # be parsed as the NEXT request line and desync the
+                # keep-alive connection (ADVICE r4), so close it
+                self.close_connection = True
                 self._send_json(400, {"error": "malformed Content-Length"})
                 return
             if not 0 < length <= max_body:
+                # error responses on paths that do not consume the
+                # declared body must not keep the connection alive
+                self.close_connection = True
                 self._send_json(
                     413 if length > max_body else 400,
                     {"error": f"body length {length} not in (0, {max_body}]"},
                 )
                 return
             raw = self.rfile.read(length)
-            shape_hdr = self.headers.get("X-Raw-Shape")
-            if shape_hdr:
-                try:
-                    shape = tuple(int(v) for v in shape_hdr.split(","))
-                    if len(shape) != 3 or shape[2] != 3:
-                        raise ValueError(shape_hdr)
-                    img = np.frombuffer(raw, np.uint8).reshape(shape)
-                except ValueError:
-                    self._send_json(400, {
-                        "error": f"X-Raw-Shape {shape_hdr!r} does not "
-                                 f"describe the {length}-byte body as "
-                                 "uint8 [H,W,3]",
-                    })
-                    return
-            else:
-                # reject decompression bombs BEFORE decoding: the body cap
-                # does not bound the decoded allocation
-                dims = _declared_dims(raw)
-                if dims is None:
-                    self._send_json(400, {
-                        "error": "unsupported or corrupt image format "
-                                 "(JPEG/PNG/BMP, or raw + X-Raw-Shape)",
-                    })
-                    return
-                if dims[0] * dims[1] > MAX_PIXELS:
-                    self._send_json(413, {
-                        "error": f"image {dims[0]}x{dims[1]} exceeds "
-                                 f"{MAX_PIXELS} decoded pixels",
-                    })
-                    return
-                img = cv2.imdecode(np.frombuffer(raw, np.uint8),
-                                   cv2.IMREAD_COLOR)
-                if img is None:
-                    self._send_json(400,
-                                    {"error": "could not decode image"})
-                    return
+            img, err = decode_request_image(
+                raw, self.headers.get("X-Raw-Shape")
+            )
+            if err is not None:
+                self._send_json(*err)
+                return
             t0 = time.perf_counter()
             try:
                 dets = service.detect(img)

@@ -115,6 +115,7 @@ class DetectionService:
         # enough and already compiled.
         self._warm_lock = threading.Lock()
         self._warm: set = set()
+        self._warm_failed: dict = {}  # bucket -> repr(exception)
         if warmup:
             self._device_call(
                 np.zeros((self.batch, *self.src_hw, 3), np.uint8)
@@ -131,8 +132,19 @@ class DetectionService:
                         self._device_call(
                             np.zeros((b, *self.src_hw, 3), np.uint8)
                         )
-                    except Exception:
-                        continue  # the largest bucket still serves
+                    except Exception as e:  # noqa: BLE001
+                        # the largest bucket still serves — but record and
+                        # surface the failure (stats.warm_failed) so
+                        # wait_warm() terminates instead of blocking on a
+                        # bucket that will never compile (ADVICE r4)
+                        import logging
+
+                        logging.getLogger("eop_tpu.serving").warning(
+                            "bucket %d warmup failed: %r", b, e
+                        )
+                        with self._warm_lock:
+                            self._warm_failed[b] = repr(e)
+                        continue
                     with self._warm_lock:
                         self._warm.add(b)
 
@@ -213,6 +225,22 @@ class DetectionService:
                                     timeout=timeout,
                                     cost=self._canvas_bytes)
 
+    def detect_async(self, img: np.ndarray, callback) -> None:
+        """Non-blocking :meth:`detect`: ``callback(dets, error)`` fires
+        from the batcher's dispatcher thread when the batch settles.
+        Admission failures (``QueueFullError`` / ``BatcherClosedError``)
+        raise synchronously and never invoke the callback — the
+        event-loop HTTP front end maps them to 429/503 inline."""
+        if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+            raise ValueError(
+                f"expected uint8 HWC 3-channel image, got "
+                f"{img.dtype}{list(img.shape)}"
+            )
+        self._batcher.submit_nowait(
+            _host_letterbox(img, self.src_hw), callback,
+            cost=self._canvas_bytes,
+        )
+
     def wait_warm(self, timeout: Optional[float] = None) -> bool:
         """Block until every bucket program is compiled (or ``timeout``
         seconds elapse); returns whether all are warm.  The service is
@@ -224,6 +252,12 @@ class DetectionService:
             with self._warm_lock:
                 if len(self._warm) == len(self.buckets):
                     return True
+                # every remaining bucket failed to compile: settled — a
+                # timeout=None wait must not spin forever on buckets that
+                # will never warm (ADVICE r4)
+                if len(self._warm) + len(self._warm_failed) >= \
+                        len(self.buckets):
+                    return False
             if deadline is not None and _time.time() >= deadline:
                 return False
             _time.sleep(0.05)
@@ -232,11 +266,14 @@ class DetectionService:
         s = self._batcher.stats()
         with self._warm_lock:
             warm = sorted(self._warm)
+            failed = dict(sorted(self._warm_failed.items()))
         s.update(src_hw=list(self.src_hw), test_size=list(self.test_size),
                  class_names=bool(self.class_names),
                  bucket_hits={str(k): v
                               for k, v in self._bucket_hits.items() if v},
                  warm_buckets=warm)
+        if failed:
+            s["warm_failed"] = {str(k): v for k, v in failed.items()}
         return s
 
     def close(self) -> None:

@@ -321,10 +321,16 @@ def test_service_from_artifact(tmp_path, svc_24p):
 # ------------------------------------------------------------------ HTTP
 
 
-@pytest.fixture(scope="module")
-def http_server(svc_24p):
+@pytest.fixture(scope="module", params=["threaded", "async"])
+def http_server(request, svc_24p):
+    """The full HTTP battery runs against BOTH front ends: the stdlib
+    thread-per-connection server and the selectors event loop (r5)."""
+    from eop_tpu.serving import make_async_http_server
+
     svc, *_ = svc_24p
-    server = make_http_server(svc, host="127.0.0.1", port=0)
+    make = (make_http_server if request.param == "threaded"
+            else make_async_http_server)
+    server = make(svc, host="127.0.0.1", port=0)
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -524,4 +530,232 @@ def test_background_bucket_warmup():
         assert hits.get(1, 0) == 1
     finally:
         gate.set()
+        svc.close()
+
+
+# ---------------------------------------------------- async front end (r5)
+
+
+def test_batcher_submit_nowait_callbacks():
+    done = []
+    b = DynamicBatcher(lambda xs: [x * 2 for x in xs], max_batch=4,
+                       max_wait_ms=5)
+    for i in range(3):
+        b.submit_nowait(i, lambda r, e, i=i: done.append((i, r, e)))
+    deadline = time.time() + 10
+    while len(done) < 3 and time.time() < deadline:
+        time.sleep(0.01)
+    b.close()
+    assert sorted(done) == [(0, 0, None), (1, 2, None), (2, 4, None)]
+
+
+def test_batcher_submit_nowait_error_and_close():
+    got = []
+    ev = threading.Event()
+
+    def boom(xs):
+        raise RuntimeError("kaput")
+
+    b = DynamicBatcher(boom, max_batch=2, max_wait_ms=1)
+    b.submit_nowait("x", lambda r, e: (got.append((r, e)), ev.set()))
+    assert ev.wait(10)
+    assert got[0][0] is None and isinstance(got[0][1], RuntimeError)
+    b.close()
+    with pytest.raises(BatcherClosedError):
+        b.submit_nowait("y", lambda r, e: None)
+
+
+def test_batcher_submit_nowait_queue_full_raises_synchronously():
+    gate = threading.Event()
+
+    def slow(xs):
+        gate.wait(10)
+        return xs
+
+    b = DynamicBatcher(slow, max_batch=1, max_wait_ms=1, max_queue=1)
+    b.submit_nowait("a", lambda r, e: None)   # taken by dispatcher
+    time.sleep(0.2)
+    b.submit_nowait("b", lambda r, e: None)   # fills the queue
+    with pytest.raises(QueueFullError):
+        b.submit_nowait("c", lambda r, e: None)
+    gate.set()
+    b.close()
+
+
+class _StubService:
+    """Front-end-only tests: detect returns [] instantly."""
+
+    def __init__(self):
+        import threading as _t
+
+        self._lock = _t.Lock()
+        self.n = 0
+
+    def detect(self, img, timeout=None):
+        with self._lock:
+            self.n += 1
+        return []
+
+    def detect_async(self, img, callback):
+        with self._lock:
+            self.n += 1
+        callback([], None)
+
+    def stats(self):
+        return {"requests": self.n}
+
+
+@pytest.mark.parametrize("frontend", ["threaded", "async"])
+def test_http_oversized_body_closes_cleanly(frontend):
+    """ADVICE r4 (medium): an error response on a path that does NOT
+    consume the declared body must close the connection — otherwise the
+    unread body bytes desync the next keep-alive request.  The client
+    must see a clean 413 + Connection: close, and a follow-up request
+    (auto-reconnect) must succeed."""
+    import http.client
+
+    from eop_tpu.serving import make_async_http_server
+
+    make = (make_http_server if frontend == "threaded"
+            else make_async_http_server)
+    server = make(_StubService(), host="127.0.0.1", port=0, max_body=1024)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        body = b"z" * 4096  # over max_body
+        conn.request("POST", "/v1/detect", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert (resp.getheader("Connection") or "").lower() == "close"
+        resp.read()
+        # http.client reconnects on a closed keep-alive connection; the
+        # follow-up must be a clean request, not desynced garbage
+        import cv2
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        ok_body = cv2.imencode(".png", img)[1].tobytes()
+        conn.request("POST", "/v1/detect", body=ok_body)
+        resp2 = conn.getresponse()
+        assert resp2.status == 200, resp2.read()
+        json.loads(resp2.read())
+        conn.close()
+    finally:
+        server.shutdown()
+
+
+def test_async_many_persistent_connections():
+    """The point of the event loop (VERDICT r4 item 2): many idle
+    persistent connections are free — every one of them completes
+    requests with zero resets (ThreadingHTTPServer reset connections at
+    >=128 persistent clients on the 1-core load-test host)."""
+    import http.client
+
+    from eop_tpu.serving import make_async_http_server
+
+    server = make_async_http_server(_StubService(), host="127.0.0.1",
+                                    port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    conns = []
+    try:
+        for _ in range(160):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=15)
+            c.connect()
+            conns.append(c)
+        # every connection stays usable: two rounds over all of them
+        for rnd in range(2):
+            for i, c in enumerate(conns):
+                c.request("GET", "/healthz")
+                resp = c.getresponse()
+                assert resp.status == 200, (rnd, i)
+                resp.read()
+    finally:
+        for c in conns:
+            try:
+                c.close()
+            except Exception:
+                pass
+        server.shutdown()
+
+
+def test_async_detect_roundtrip_and_pipelined_next_request():
+    """After an async detect completes, buffered pipelined bytes are
+    parsed (responses stay in order)."""
+    import http.client
+
+    import cv2
+
+    from eop_tpu.serving import make_async_http_server
+
+    server = make_async_http_server(_StubService(), host="127.0.0.1",
+                                    port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np.zeros((8, 8, 3), np.uint8)
+        body = cv2.imencode(".png", img)[1].tobytes()
+        head = (
+            f"POST /v1/detect HTTP/1.1\r\nHost: x\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        get = b"GET /v1/stats HTTP/1.1\r\nHost: x\r\n\r\n"
+        s = socket_create("127.0.0.1", port)
+        # two detects + a stats, all pipelined in one write
+        s.sendall(head + body + head + body + get)
+        data = b""
+        deadline = time.time() + 30
+        while data.count(b"HTTP/1.1 200") < 3 and time.time() < deadline:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+        assert data.count(b"HTTP/1.1 200") == 3, data[:400]
+        # responses in request order: two detections then stats
+        # split by head/body separators: seg[i] is body_i + head_{i+1}
+        bodies = [seg for seg in data.split(b"\r\n\r\n") if seg]
+        assert b"detections" in bodies[1]
+        assert b"detections" in bodies[2]
+        assert b"requests" in bodies[3]
+        s.close()
+    finally:
+        server.shutdown()
+
+
+def socket_create(host, port):
+    import socket as _socket
+
+    s = _socket.create_connection((host, port), timeout=15)
+    return s
+
+
+def test_warm_failure_surfaced_and_wait_warm_terminates():
+    """ADVICE r4 (low): a bucket whose warmup compile fails is recorded
+    (stats.warm_failed) and wait_warm(timeout=None) returns False
+    instead of blocking forever."""
+
+    def fake_serve(canvases):
+        b = canvases.shape[0]
+        if b == 2:
+            raise RuntimeError("compile failed for bucket 2")
+        return {
+            "rows": np.zeros((b, 4, 29), np.float32),
+            "valid": np.zeros((b, 4), bool),
+        }
+
+    svc = DetectionService(
+        fake_serve, batch=4, src_hw=(16, 16), test_size=(16, 16),
+        max_wait_ms=1.0, warmup=True,
+    )
+    try:
+        assert svc.wait_warm(timeout=None) is False  # settled, not hung
+        st = svc.stats()
+        assert "2" in st.get("warm_failed", {})
+        assert sorted(st["warm_buckets"]) == [1, 4]
+        # service still serves (pads past the dead bucket)
+        assert svc.detect(np.zeros((10, 10, 3), np.uint8)) == []
+    finally:
         svc.close()

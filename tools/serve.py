@@ -56,6 +56,11 @@ def make_parser():
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="batching window after the first request")
     p.add_argument("--max-queue", type=int, default=256)
+    p.add_argument("--frontend", choices=["async", "threaded"],
+                   default="async",
+                   help="HTTP front end: selectors event loop (default; "
+                        "scales to hundreds of persistent connections) "
+                        "or stdlib thread-per-connection")
     p.add_argument("--int8", action="store_true",
                    help="int8 PTQ (calibrate on --calib images)")
     p.add_argument("--calib", type=str, default=None)
@@ -145,12 +150,17 @@ def build_service(args):
 
 def main():
     args = make_parser().parse_args()
-    from eop_tpu.serving import make_http_server
+    from eop_tpu.serving import make_async_http_server, make_http_server
 
     print("building + compiling the serving program "
           "(first build can take a minute)...")
     service = build_service(args)
-    server = make_http_server(service, args.host, args.port)
+    # event-loop front end by default: a single IO thread multiplexes
+    # every connection, so hundreds of persistent clients never hit the
+    # thread-per-connection resets the round-4 load test exposed
+    make_server = (make_http_server if args.frontend == "threaded"
+                   else make_async_http_server)
+    server = make_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port}  "
           f"batch={service.batch} src_hw={service.src_hw} "
           f"test_size={service.test_size} "
