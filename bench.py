@@ -4,7 +4,10 @@ YOLOX-L) and the full 24p train step.
 Headline metric: the deployment path of the 24-point fisheye detector (the
 reference's primary model, s-scale: depth 0.33 / width 0.50 —
 `yolox_24p/load_train/yolox_24p_train.py:12-13`): jitted forward (bf16
-compute) → grid decode → polygon→rect NMS, one device, batch 128.
+compute) → grid decode → polygon→rect NMS, one device; the headline value
+is the best MEASURED deployable config this session (`extra.headline_config`
+names it, `extra.headline_fixed_config` carries the fine-bf16 B=128 number
+every round reported, for apples-to-apples cross-round tracking).
 
 Extras (same JSON line, `extra` object):
 * ``inference_yoloxl_640px`` — the feature-map study's flagship (depth /
@@ -13,12 +16,19 @@ Extras (same JSON line, `extra` object):
 * ``train_step_24p_640px_b32`` — fwd + SimOTA + circle-GIoU/DWA loss +
   backward + SGD + EMA, one jitted program (B=32, 8 GTs/img).
 
-Methodology note: the driver's TPU is reached through a tunnel where
+Statistical method (round 5, VERDICT item 3): this testbed's cross-session
+throughput drifts ±10-50% (tunnel/chip — BASELINE.md "Measurement-integrity
+note"), so (a) every config is measured in ≥5 INTERLEAVED rounds
+(A,B,C,A,B,C,... — drift hits all configs alike) and reported as
+``{median, iqr, n}``; (b) config comparisons are emitted as SAME-SESSION
+per-round ratios (``extra.ratios``), the only comparator that survives the
+drift.  Cross-round prose must quote the ratios, not raw values.
+
+Timing method: the driver's TPU is reached through a tunnel where
 ``block_until_ready`` does not actually block — only a host fetch
-synchronizes.  We therefore enqueue N batches, fetch one scalar reduced
-from the last batch's detections (the device queue is FIFO, so this drains
-all N), subtract a separately-measured tunnel round-trip, and report the
-best of 2 passes (the tunnel adds occasional multi-second noise spikes).
+synchronizes.  Each pass enqueues N batches and fetches one scalar reduced
+from the last batch (FIFO queue => drains all N), minus a separately
+measured tunnel round-trip.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md); the
 driver north star is ≥2,000 img/s/chip at 640 px, so ``vs_baseline`` is
@@ -33,6 +43,7 @@ import json
 import time
 
 V5E_BF16_PEAK = 197e12  # FLOP/s
+ROUNDS = 5
 
 
 def _measure_rtt(jnp, jax, x) -> float:
@@ -49,17 +60,23 @@ def _measure_rtt(jnp, jax, x) -> float:
     return best
 
 
-def _drain_time(run, fetch, iters: int, rtt: float, passes: int = 2) -> float:
-    """Best-of-``passes`` per-call time via the queue-drain method."""
-    best = float("inf")
-    for _ in range(passes):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = run()
-        fetch(out)
-        best = min(best, (time.perf_counter() - t0 - rtt) / iters)
-    return best
+def _timed_pass(run, fetch, iters: int, rtt: float) -> float:
+    """One queue-drain pass -> per-call seconds."""
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = run()
+    fetch(out)
+    return (time.perf_counter() - t0 - rtt) / iters
+
+
+def _median_iqr(xs):
+    import numpy as np
+
+    a = np.sort(np.asarray(xs, float))
+    med = float(np.median(a))
+    q25, q75 = float(np.percentile(a, 25)), float(np.percentile(a, 75))
+    return med, q75 - q25
 
 
 def main():
@@ -67,6 +84,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from eop_tpu.utils.setup_env import enable_compile_cache
 
@@ -76,22 +94,23 @@ def main():
     )
 
     import optax
+    from flax import linen as nn
 
     from eop_tpu.eval import postprocess_24p_heads, postprocess_bbox_heads
     from eop_tpu.losses import Loss24PConfig
     from eop_tpu.models import YOLOX, init_model
+    from eop_tpu.ops import quant
     from eop_tpu.train.steps import create_train_state, make_train_step_24p
+    from eop_tpu.utils.model_utils import fuse_conv_bn
 
     rng = jax.random.PRNGKey(0)
     rtt = _measure_rtt(jnp, jax, jnp.zeros((8, 8)))
     extra = {}
 
-    # --- headline: 24p-s e2e inference, B=128 ---
+    # ---------------- build + compile every config up front ----------------
+
+    # 24p-s: fine layout @B=128 (the r1-r3 headline config)
     B = 128
-    # packed_early="train": training steps run the sub-128-channel early
-    # backbone in the space-to-depth packed layout (1.33x the train step on
-    # v5e); inference keeps the fine layout, which measures faster at these
-    # batch sizes.  Parameters are identical in both layouts.
     model_s = YOLOX(depth=0.33, width=0.50, num_classes=80, reg_dim=26,
                     dtype=jnp.bfloat16, packed_early="train")
     x = jax.random.uniform(rng, (B, 640, 640, 3), jnp.float32) * 255.0
@@ -112,49 +131,27 @@ def main():
 
     infer_s = make_infer_24p(model_s)
     float(infer_s(vars_s, x))  # compile + warm
-    t_s = _drain_time(lambda: infer_s(vars_s, x), float, 20, rtt,
-                      passes=3)
-    img_s = B / t_s
-    extra["inference_24p_s_640px_b128_fine"] = {
-        "value": round(img_s, 1), "unit": "img/s/chip",
-        "latency_ms": round(t_s * 1e3, 2),
-    }
 
-    # --- extra: 24p-s serving-batch inference (B=32, packed layout — the
-    # Exp infer builders pick packed for per-device batches <= 64, where
-    # it measured 1.18-1.99x over fine; same parameters) ---
+    # 24p-s: packed layout @B=32 (the Exp infer builders pick packed for
+    # per-device batches <= 64, where it measured 1.18-1.99x over fine)
     BS = 32
     model_s_packed = YOLOX(depth=0.33, width=0.50, num_classes=80,
                            reg_dim=26, dtype=jnp.bfloat16,
                            packed_early=True)
     infer_s32 = make_infer_24p(model_s_packed)
     float(infer_s32(vars_s, x[:BS]))
-    t_s32 = _drain_time(lambda: infer_s32(vars_s, x[:BS]), float, 20,
-                        rtt, passes=3)
-    extra["inference_24p_s_640px_b32_packed"] = {
-        "value": round(BS / t_s32, 1), "unit": "img/s/chip",
-        "latency_ms": round(t_s32 * 1e3, 2),
-    }
 
-    # --- extra: 24p-s int8 x packed (round 4): the packed layout widens
-    # the early stages 4x over the int8 channel gate, so the whole net
-    # runs on the MXU's int8 path; measured best e2e config (full matrix
-    # in BASELINE.md; accuracy: AP50 unchanged on the trained ckpt) ---
-    from flax import linen as nn
-
-    from eop_tpu.ops import quant
-    from eop_tpu.utils.model_utils import fuse_conv_bn
-
+    # 24p-s: int8 x packed (round 4) — the packed layout widens the early
+    # stages 4x over the int8 channel gate, so the whole net runs on the
+    # MXU's int8 path; accuracy: AP50 -0.2 on the trained ckpt (BASELINE.md)
     fused_sp, fused_ss = fuse_conv_bn(
         vars_s["params"], vars_s["batch_stats"]
     )
     vars_sq = {"params": fused_sp, "batch_stats": fused_ss}
 
     # gate 64: gates 32 and 64 are a wash in same-session side-by-side
-    # probes (9.81 vs 9.92 ms fused; the cross-session spreads that
-    # briefly suggested otherwise were tunnel/chip throughput drift —
-    # BASELINE.md "Measurement-integrity note"); 64 is also the setting
-    # the accuracy numbers were first measured at
+    # probes (BASELINE.md "Measurement-integrity note"); 64 is also the
+    # setting the accuracy numbers were first measured at
     S_GATE = 64
 
     @jax.jit
@@ -190,15 +187,8 @@ def main():
 
     infer_s32q = make_infer_24p_int8(model_s_packed)
     float(infer_s32q(vars_sq, x[:BS]))
-    t_s32q = _drain_time(lambda: infer_s32q(vars_sq, x[:BS]), float, 20,
-                         rtt, passes=3)
-    extra["inference_24p_s_640px_b32_packed_int8"] = {
-        "value": round(BS / t_s32q, 1), "unit": "img/s/chip",
-        "latency_ms": round(t_s32q * 1e3, 2),
-        "quantized_convs_calibrated": len(scales_s),
-    }
 
-    # --- extra: YOLOX-L e2e inference (flagship), B=64 ---
+    # YOLOX-L e2e inference (flagship), B=64, bf16 + int8
     BL = 64
     model_l = YOLOX(depth=1.0, width=1.0, num_classes=80, reg_dim=4,
                     dtype=jnp.bfloat16)
@@ -214,33 +204,6 @@ def main():
         return jnp.sum(det.rows)
 
     float(infer_l(vars_l, xl))
-    t_l = _drain_time(lambda: infer_l(vars_l, xl), float, 10, rtt)
-    img_l = BL / t_l
-    # model-FLOPs MFU (XLA cost analysis counts fused fwd FLOPs; thop-style
-    # MACs×2 — here we keep XLA's flops directly, batch-1 forward only)
-    lowered = jax.jit(
-        lambda v, i: model_l.apply(v, i.astype(jnp.bfloat16), False)
-    ).lower(vars_l, xl[:1])
-    try:
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops_l = float(cost.get("flops", 0.0))
-    except Exception:
-        flops_l = 0.0
-    extra["inference_yoloxl_640px"] = {
-        "value": round(img_l, 1), "unit": "img/s/chip",
-        "model_gflops_fwd": round(flops_l / 1e9, 1),
-        "mfu": round(img_l * flops_l / V5E_BF16_PEAK, 3),
-    }
-
-    # --- extra: YOLOX-L int8 PTQ (per-channel weights, calibrated
-    # activations, MXU int8 path — capability beyond the reference;
-    # accuracy cost measured in BASELINE.md: AP50 unchanged) ---
-    from flax import linen as nn
-
-    from eop_tpu.ops import quant
-    from eop_tpu.utils.model_utils import fuse_conv_bn
 
     fused_p, fused_s = fuse_conv_bn(
         vars_l["params"], vars_l["batch_stats"]
@@ -272,18 +235,12 @@ def main():
         return jnp.sum(det.rows)
 
     float(infer_l_int8(vars_lq, xl))
-    t_lq = _drain_time(lambda: infer_l_int8(vars_lq, xl), float, 10, rtt)
-    extra["inference_yoloxl_640px_int8"] = {
-        "value": round(BL / t_lq, 1), "unit": "img/s/chip",
-        "speedup_vs_bf16": round(t_l / t_lq, 3),
-    }
 
-    # --- extra: 24p train step, B=32 ---
+    # 24p train step, B=32
     from eop_tpu.utils.synth import synthetic_24p_batch
 
     BT = 32
     xt, labels = synthetic_24p_batch(rng, BT, 640, ngt=8)
-
     tx = optax.sgd(0.01, momentum=0.9, nesterov=True)
     state = create_train_state(
         model_s, tx, rng, xt[:1], use_ema=True, with_dwa=True
@@ -293,7 +250,6 @@ def main():
         donate_argnums=(0,),
     )
     key = jax.random.PRNGKey(1)
-
     state_box = [state]
 
     def run_step():
@@ -302,25 +258,107 @@ def main():
         return m["total_loss"]
 
     float(run_step())  # compile + warm
-    t_t = _drain_time(run_step, float, 15, rtt, passes=3)
+
+    # ---------------- interleaved measurement rounds ----------------
+    # (name, run, iters) — every round measures every config once, in the
+    # same order, so tunnel/chip drift hits them all alike
+    configs = [
+        ("fine_bf16_b128", lambda: infer_s(vars_s, x), 20),
+        ("packed_bf16_b32", lambda: infer_s32(vars_s, x[:BS]), 20),
+        ("packed_int8_b32", lambda: infer_s32q(vars_sq, x[:BS]), 20),
+        ("yoloxl_bf16_b64", lambda: infer_l(vars_l, xl), 10),
+        ("yoloxl_int8_b64", lambda: infer_l_int8(vars_lq, xl), 10),
+        ("train_24p_b32", run_step, 15),
+    ]
+    times = {name: [] for name, _, _ in configs}
+    for _ in range(ROUNDS):
+        for name, run, iters in configs:
+            times[name].append(_timed_pass(run, float, iters, rtt))
+
+    med = {}
+    spread = {}
+    for name in times:
+        med[name], spread[name] = _median_iqr(times[name])
+
+    def _row(name, batch):
+        return {
+            "value": round(batch / med[name], 1), "unit": "img/s/chip",
+            "latency_ms": round(med[name] * 1e3, 2),
+            "latency_ms_iqr": round(spread[name] * 1e3, 2),
+            "n": ROUNDS,
+        }
+
+    extra["inference_24p_s_640px_b128_fine"] = _row("fine_bf16_b128", B)
+    extra["inference_24p_s_640px_b32_packed"] = _row("packed_bf16_b32", BS)
+    r = _row("packed_int8_b32", BS)
+    r["quantized_convs_calibrated"] = len(scales_s)
+    extra["inference_24p_s_640px_b32_packed_int8"] = r
+
+    img_l = BL / med["yoloxl_bf16_b64"]
+    # model-FLOPs MFU (XLA cost analysis counts fused fwd FLOPs)
+    lowered = jax.jit(
+        lambda v, i: model_l.apply(v, i.astype(jnp.bfloat16), False)
+    ).lower(vars_l, xl[:1])
+    try:
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_l = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_l = 0.0
+    extra["inference_yoloxl_640px"] = {
+        **_row("yoloxl_bf16_b64", BL),
+        "model_gflops_fwd": round(flops_l / 1e9, 1),
+        "mfu": round(img_l * flops_l / V5E_BF16_PEAK, 3),
+    }
+    extra["inference_yoloxl_640px_int8"] = _row("yoloxl_int8_b64", BL)
+
     extra["train_step_24p_640px_b32"] = {
-        "value": round(t_t * 1e3, 2), "unit": "ms/step",
-        "img_per_sec": round(BT / t_t, 1),
+        "value": round(med["train_24p_b32"] * 1e3, 2), "unit": "ms/step",
+        "iqr_ms": round(spread["train_24p_b32"] * 1e3, 2),
+        "n": ROUNDS,
+        "img_per_sec": round(BT / med["train_24p_b32"], 1),
     }
 
-    # headline = the best measured deployable 24p-s e2e config (the Exp
-    # infer builders select layout and int8 per batch, so each of these
-    # is a real serving configuration, not a synthetic best-case):
-    # fine-bf16 @B=128 (the r1-r3 headline config) vs packed-int8 @B=32
-    # (round 4 — AP50 unchanged under PTQ, BASELINE.md)
+    # same-session per-round ratios: the only drift-proof comparator on
+    # this testbed (each round's configs share the same tunnel conditions)
+    def _ratio(a, b):  # speedup of a over b: time_b / time_a, per round
+        per_round = [times[b][i] / times[a][i] for i in range(ROUNDS)]
+        m, iqr = _median_iqr(per_round)
+        return {"median": round(m, 3), "iqr": round(iqr, 3), "n": ROUNDS}
+
+    t_per_img = {n: [t / bb for t in times[n]] for n, bb in
+                 [("fine_bf16_b128", B), ("packed_bf16_b32", BS),
+                  ("packed_int8_b32", BS)]}
+    times_img = {f"{k}_img": v for k, v in t_per_img.items()}
+    times.update(times_img)
+    extra["ratios"] = {
+        "packed_int8_b32_vs_fine_bf16_b128_per_img":
+            _ratio("packed_int8_b32_img", "fine_bf16_b128_img"),
+        "packed_int8_b32_vs_packed_bf16_b32": _ratio(
+            "packed_int8_b32", "packed_bf16_b32"),
+        "packed_bf16_b32_vs_fine_bf16_b128_per_img":
+            _ratio("packed_bf16_b32_img", "fine_bf16_b128_img"),
+        "yoloxl_int8_vs_bf16": _ratio("yoloxl_int8_b64", "yoloxl_bf16_b64"),
+    }
+
+    # headline = the best measured deployable 24p-s e2e config (each is a
+    # real serving configuration the Exp infer builders can select)
     candidates = {
-        "fine_bf16_b128": img_s,
-        "packed_bf16_b32": BS / t_s32,
-        "packed_int8_b32": BS / t_s32q,
+        "fine_bf16_b128": B / med["fine_bf16_b128"],
+        "packed_bf16_b32": BS / med["packed_bf16_b32"],
+        "packed_int8_b32": BS / med["packed_int8_b32"],
     }
     headline_config = max(candidates, key=candidates.get)
     headline = candidates[headline_config]
     extra["headline_config"] = headline_config
+    # cross-round continuity (ADVICE r4): the fixed config every round
+    # reported, regardless of which config wins this session
+    extra["headline_fixed_config"] = {
+        "name": "fine_bf16_b128",
+        "value": round(candidates["fine_bf16_b128"], 1),
+        "unit": "img/s/chip",
+    }
     print(
         json.dumps(
             {
