@@ -203,11 +203,18 @@ def packed_conv(x, w, stride: int, pad: int, mode: str = "pp",
     ``act_scale`` (int8 PTQ composition, `ops/quant.py`): when given, the
     conv runs on the MXU int8 path — activations per-tensor symmetric
     int8 at that scale, the PACKED kernel per-output-channel int8, int32
-    accumulation, fused dequant tail.  Because packing is a permutation
-    and the packed kernel is an exact scatter of the fine kernel, each
-    packed output channel's absmax equals its fine channel's absmax and
-    the int8 products are the same products — the packed int8 conv is
-    bit-identical to the fine int8 conv (pinned by test).  This is the
+    accumulation, fused dequant tail.  For modes "pp" and "pf" packing
+    is a permutation and the packed kernel an exact scatter of the fine
+    kernel, so each packed output channel's absmax equals its fine
+    channel's absmax and the int8 products are the same products — the
+    packed int8 conv is bit-identical to the fine int8 conv (pinned by
+    test for both modes).  Mode "fp" is the exception: each packed
+    output channel holds only a spatial-phase SUBSET of the fine
+    kernel's taps, so its per-channel weight scale differs from the fine
+    conv's and the quantization grid is different (still a valid int8
+    quantization, just not bit-matched to the fine one; unreachable
+    today anyway — the stem's 3/12 input channels sit under the gate).
+    This is the
     composition the round-3 VERDICT asked for: packing multiplies the
     early stages' channels 4x, which lifts them over the int8 path's
     channel gate that keeps them bf16 in the fine layout.

@@ -23,11 +23,22 @@ Scheme — standard symmetric PTQ, re-derived for the flax/XLA stack:
   ``(s_x * s_w[c])`` is an elementwise tail XLA fuses into the conv,
   exactly where the BN multiply used to sit.
 * **selection**: only non-grouped convs with ``min(C_in, C_out) >=
-  min_channels`` run quantized.  The narrow early stages are
-  emitter-bound rather than MXU-bound on TPU (measured, BASELINE.md
-  round 3) *and* are the most accuracy-sensitive — quantizing them
-  costs accuracy for zero speed.  Depthwise convs barely touch the MXU
-  and are skipped likewise.
+  min_channels`` run quantized.  In the FINE layout the narrow early
+  stages are emitter-bound rather than MXU-bound on TPU (measured,
+  BASELINE.md round 3) *and* are the most accuracy-sensitive —
+  quantizing them costs accuracy for zero speed.  Depthwise convs
+  barely touch the MXU and are skipped likewise.  In the PACKED layout
+  (`packed_act_scale`) the gate is applied to the packed channel dims:
+  packing multiplies the early stages' channels 4x, which changes the
+  SPEED half of the rationale (the convs become MXU-bound matmuls, and
+  int8 measurably wins there — BASELINE.md round 4) but not the
+  numerics (packing is a permutation, so per-output accumulation depth
+  and quantization error are the same as quantizing the fine conv
+  would be).  The accuracy half is therefore covered by measurement,
+  not by the gate: the packed-int8 path's AP is regression-checked on
+  trained checkpoints (BASELINE.md round-4 fisheye drive: AP50 −0.2 /
+  AP50:95 −0.7 vs bf16) — re-verify on any new checkpoint family
+  before serving it packed-int8.
 
 The mechanism is `flax.linen.intercept_methods`: a context installed
 around ``model.apply`` that replaces eligible ``nn.Conv.__call__``s with
