@@ -47,6 +47,9 @@ class Exp24P(BaseExp):
         self.ema = False
         self.ema_decay = 0.9998
         self.L1_epoch = 100        # enable L1 loss for the last N epochs
+        # epoch-checkpoint cadence (1 = reference's every-epoch saves);
+        # see yolox_base._TRAIN["ckpt_interval"]
+        self.ckpt_interval = 1
 
         self.weight_decay = 0.0    # 24p trainer uses plain SGD (ref :120-124)
         self.momentum = 0.9

@@ -70,6 +70,12 @@ class Exp(BaseExp):
         ema=True, ema_decay=0.9998,
         weight_decay=5e-4, momentum=0.9,
         print_interval=10, eval_interval=10,
+        # epoch-checkpoint cadence (1 = every epoch, the reference's
+        # behavior).  At large widths the per-epoch save is a full
+        # state_to_host fetch (~650 MB for width 1.0 over a device
+        # tunnel) — raise this for tunnel-attached drives; the final
+        # epoch and the pre-no-aug checkpoint always save regardless.
+        ckpt_interval=1,
     )
     _TEST = dict(test_size=(640, 640), test_conf=0.01, nmsthre=0.65)
     _TPU = dict(

@@ -398,7 +398,10 @@ class Trainer:
                 )
 
     def after_epoch(self):
-        self.save_ckpt(ckpt_name="latest")
+        interval = getattr(self.exp, "ckpt_interval", 1)
+        if ((self.epoch + 1) % interval == 0
+                or self.epoch + 1 == self.max_epoch):
+            self.save_ckpt(ckpt_name="latest")
         if (self.epoch + 1) % self.exp.eval_interval == 0:
             self.evaluate_and_save_model()
 

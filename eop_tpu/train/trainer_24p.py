@@ -213,12 +213,17 @@ class Trainer24P:
             )
             # collective when FSDP shards state across hosts (every rank
             # joins the gather) — must run BEFORE the rank-0 write gate
-            host_state = state_to_host(state)
-            if self.is_main:  # one writer per checkpoint dir
-                save_checkpoint(
-                    host_state, False, self.file_name, "last_epoch",
-                    metadata={"start_epoch": epoch + 1},
-                )
+            interval = getattr(exp, "ckpt_interval", 1)
+            want_eval = evaluator and (epoch + 1) % exp.eval_interval == 0
+            host_state = None
+            if ((epoch + 1) % interval == 0 or epoch + 1 == self.max_epoch
+                    or want_eval):
+                host_state = state_to_host(state)
+                if self.is_main:  # one writer per checkpoint dir
+                    save_checkpoint(
+                        host_state, False, self.file_name, "last_epoch",
+                        metadata={"start_epoch": epoch + 1},
+                    )
             if evaluator and (epoch + 1) % exp.eval_interval == 0:
                 use_ema = exp.ema and state.ema_params is not None
                 # state_to_host: under multi-host FSDP each rank's eval

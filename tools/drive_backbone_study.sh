@@ -15,7 +15,7 @@ for bt in darknet vgg resnet densenet; do
     num_classes 3 input_size "(256,256)" test_size "(256,256)" \
     max_epoch "$EPOCHS" no_aug_epochs 10 eval_interval 20 warmup_epochs 2 \
     multiscale_range 2 data_num_workers 2 test_conf 0.05 \
-    compute_dtype bfloat16 output_dir "$OUT" backbone_type "$bt" \
+    compute_dtype bfloat16 ckpt_interval 10 output_dir "$OUT" backbone_type "$bt" \
     > "$OUT/train_$bt.out" 2>&1
   echo "=== $bt done rc=$? ($(date)) ==="
 done
