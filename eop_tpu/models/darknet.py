@@ -120,6 +120,11 @@ class CSPDarknet(nn.Module):
     # inference at large batch, and parameters are layout-independent so
     # the same weights can train packed and serve fine.
     packed_early: bool | str = False
+    # how many leading stages run packed when packed_early engages:
+    # 2 = stem + dark2 (the sub-128-channel stages — default), 3 = also
+    # dark3_conv + dark3_csp (an MXU-lane experiment: at width 0.5 dark3
+    # sits exactly at the 128-lane boundary; see BASELINE.md round 5)
+    packed_depth: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -155,8 +160,18 @@ class CSPDarknet(nn.Module):
                          layout=d2l, **csp_kw)(x, train)
             if "dark2" in self.out_features:
                 outputs["dark2"] = unpack_nhwc(x) if d2_packed else x
+            d3_packed = self.packed_depth >= 3 and d2_packed
+            d3l = "packed" if d3_packed else "fine"
             x = Conv(base_ch * 4, 3, 2, name="dark3_conv",
-                     in_layout=d2l, out_layout="fine", **kw)(x, train)
+                     in_layout=d2l, out_layout=d3l, **kw)(x, train)
+            if d3_packed:
+                x = CSPLayer(base_ch * 4, n=base_depth * 3,
+                             name="dark3_csp", layout="packed",
+                             **csp_kw)(x, train)
+                x = unpack_nhwc(x)
+                outputs["dark3"] = x
+                return self._tail_from_dark4(x, outputs, base_ch,
+                                             base_depth, csp_kw, kw, train)
             return self._tail(x, outputs, base_ch, base_depth, csp_kw, kw,
                               train)
 
@@ -173,10 +188,14 @@ class CSPDarknet(nn.Module):
     def _tail(self, x, outputs, base_ch, base_depth, csp_kw, kw, train):
         """dark3_csp onward — shared by the fine and packed-early paths
         (both arrive here in fine layout with >=128 channels)."""
-        Conv = DWConv if self.depthwise else BaseConv
         x = CSPLayer(base_ch * 4, n=base_depth * 3, name="dark3_csp", **csp_kw)(x, train)
         outputs["dark3"] = x
+        return self._tail_from_dark4(x, outputs, base_ch, base_depth,
+                                     csp_kw, kw, train)
 
+    def _tail_from_dark4(self, x, outputs, base_ch, base_depth, csp_kw,
+                         kw, train):
+        Conv = DWConv if self.depthwise else BaseConv
         x = Conv(base_ch * 8, 3, 2, name="dark4_conv", **kw)(x, train)
         x = CSPLayer(base_ch * 8, n=base_depth * 3, name="dark4_csp", **csp_kw)(x, train)
         outputs["dark4"] = x

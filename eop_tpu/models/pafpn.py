@@ -36,11 +36,12 @@ def upsample2x_nearest(x):
 
 
 def _build_backbone(backbone_type, depth, width, depthwise, act, dtype,
-                    bn_axis_name, packed_early=False):
+                    bn_axis_name, packed_early=False, packed_depth=2):
     if backbone_type == "darknet":
         return CSPDarknet(depth, width, depthwise=depthwise, act=act,
                           dtype=dtype, bn_axis_name=bn_axis_name,
-                          packed_early=packed_early, name="backbone")
+                          packed_early=packed_early,
+                          packed_depth=packed_depth, name="backbone")
     if backbone_type == "vgg":
         return vgg19(dtype=dtype, bn_axis_name=bn_axis_name, name="backbone")
     if backbone_type == "resnet":
@@ -72,6 +73,7 @@ class YOLOPAFPN(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
     packed_early: bool | str = False
+    packed_depth: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -79,6 +81,7 @@ class YOLOPAFPN(nn.Module):
             self.backbone_type, self.depth, self.width, self.depthwise,
             self.act, self.dtype, self.bn_axis_name,
             packed_early=self.packed_early,
+            packed_depth=self.packed_depth,
         )
         feats = backbone(x, train)
         x2, x1, x0 = [feats[f] for f in self.in_features]

@@ -53,6 +53,9 @@ class YOLOX(nn.Module):
     # False | True | "train" (packed layout for training calls only; the
     # parameters are layout-independent).
     packed_early: bool | str = False
+    # leading packed stages when packed_early engages (2 = stem+dark2;
+    # 3 = +dark3, the width-0.5 lane-boundary experiment)
+    packed_depth: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -71,6 +74,7 @@ class YOLOX(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             packed_early=self.packed_early,
+            packed_depth=self.packed_depth,
             name="backbone",
         )(x, train)
         head_outs = YOLOXHead(

@@ -160,3 +160,41 @@ def test_gradients_match():
         d = np.max(np.abs(np.asarray(a) - np.asarray(b)))
         scale = max(1.0, float(np.max(np.abs(np.asarray(a)))))
         assert d / scale < 1.5e-3, (kf, d, scale)
+
+
+def test_packed_depth3_param_tree_and_outputs_match_fine():
+    """packed_depth=3 (dark3 also packed — the width-0.5 lane-boundary
+    experiment, round 5) keeps the bit-compatibility contract: identical
+    parameter tree, matching outputs and gradients vs the fine path."""
+    kw = dict(depth=0.33, width=0.5, num_classes=3, reg_dim=4,
+              dtype=jnp.float32)
+    fine = YOLOX(packed_early=False, **kw)
+    deep = YOLOX(packed_early=True, packed_depth=3, **kw)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3) * 255, jnp.float32)
+    vf = fine.init(jax.random.PRNGKey(0), x, False)
+    vp = deep.init(jax.random.PRNGKey(0), x, False)
+    assert jax.tree_util.tree_structure(vf) == \
+        jax.tree_util.tree_structure(vp)
+    for (kf, lf), (kp, lp) in zip(_flat(vf), _flat(vp)):
+        assert kf == kp and lf.shape == lp.shape, (kf, lf.shape, lp.shape)
+
+    (ho_f, fpn_f) = fine.apply(vf, x, False)
+    (ho_p, fpn_p) = deep.apply(vf, x, False)
+    for a, b in zip(jax.tree_util.tree_leaves((ho_f, fpn_f)),
+                    jax.tree_util.tree_leaves((ho_p, fpn_p))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    def loss(m, v):
+        ho, _ = m.apply(v, x, True, mutable=["batch_stats"])[0]
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in ho)
+
+    gf = jax.grad(lambda v: loss(fine, v))(vf)["params"]
+    gp = jax.grad(lambda v: loss(deep, v))(vf)["params"]
+    # scale-relative bound, as in test_gradients_match: fp32 contraction
+    # order differs between the layouts; the re-expression itself is exact
+    for (kf, a), (kp, b) in zip(_flat(gf), _flat(gp)):
+        d = np.max(np.abs(np.asarray(a) - np.asarray(b)))
+        scale = max(1.0, float(np.max(np.abs(np.asarray(a)))))
+        assert d / scale < 1.5e-3, (kf, d, scale)
