@@ -58,15 +58,17 @@ def get_img_info(json_file: str, image_dir: Optional[str] = None):
     return coco, targets, image, image.shape[0], image.shape[1]
 
 
-def get_img_mask(offset, ori_img, ori_img_h, ori_img_w, targets, coco):
+def get_img_mask(offset, ori_img, ori_img_h, ori_img_w, targets, coco,
+                 frame: int = 640):
     """Re-render annotated objects at a vertical offset on a gray canvas
     (ref `get_img_mask:199-236`).  Returns (canvas, gt boxes normalized to
-    the 640-letterbox frame, gt boxes in pixels, last shifted mask)."""
+    the ``frame``-letterbox frame (the reference hardcodes 640), gt boxes
+    in pixels, last shifted mask)."""
     draw_temp = np.ones((ori_img_h, ori_img_w, 3), dtype=np.uint8) * 114
     gt_box_fm = np.zeros((len(targets), 4))
     gt_box = np.zeros((len(targets), 4))
 
-    r = min(640 / ori_img_h, 640 / ori_img_w)
+    r = min(frame / ori_img_h, frame / ori_img_w)
     new_w = int(ori_img_w * r)
     new_h = int(ori_img_h * r)
 
@@ -74,10 +76,10 @@ def get_img_mask(offset, ori_img, ori_img_h, ori_img_w, targets, coco):
     for idx, target in enumerate(targets):
         x, y, w, h = target["bbox"]
         gt_box_fm[idx] = (
-            (x / ori_img_w) * new_w / 640,
-            ((y + offset) / ori_img_h) * new_h / 640,
-            ((x + w) / ori_img_w) * new_w / 640,
-            ((y + offset + h) / ori_img_h) * new_h / 640,
+            (x / ori_img_w) * new_w / frame,
+            ((y + offset) / ori_img_h) * new_h / frame,
+            ((x + w) / ori_img_w) * new_w / frame,
+            ((y + offset + h) / ori_img_h) * new_h / frame,
         )
         gt_box[idx] = (x, y + offset, x + w, y + offset + h)
 
@@ -336,11 +338,11 @@ def create_2d_feature_map(fpn_outs, pred_rows, gt_box_fm, image_name,
                           table: Dict[str, List[float]],
                           save_path: Optional[str] = None,
                           show: bool = False,
-                          figsize=(15, 8)):
+                          figsize=(15, 8), frame: int = 640):
     """Channel-mean FPN heatmaps + per-GT activation means
     (ref `create_2D_feature_map:330-392`).  ``fpn_outs``: 3 NHWC arrays at
-    strides 8/16/32; ``pred_rows``: [N, >=4] xyxy in the 640 frame;
-    ``gt_box_fm``: [G, 4] normalized to the 640 frame."""
+    strides 8/16/32; ``pred_rows``: [N, >=4] xyxy in the ``frame``
+    (model-input) frame; ``gt_box_fm``: [G, 4] normalized to it."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -350,7 +352,7 @@ def create_2d_feature_map(fpn_outs, pred_rows, gt_box_fm, image_name,
     fig_2d, ax_2d = plt.subplots(2, 3, figsize=figsize)
     if pred_rows is None or len(pred_rows) == 0:
         pred_rows = np.zeros((1, 7))
-    pred_box = np.asarray(pred_rows)[:, :4] / 640
+    pred_box = np.asarray(pred_rows)[:, :4] / frame
 
     per_img_results = []
     for idx in range(3):

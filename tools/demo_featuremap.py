@@ -153,6 +153,7 @@ def run_sweep(predictor, data_path, dis_type, gt_boxes_fm, vis_folder,
                 vis_folder,
                 os.path.basename(image_name).replace(".png", "_fm.png"),
             ),
+            frame=predictor.test_size[0],
         )
         result_image, bbox, score, cls = predictor.visual(
             rows, img_info, predictor.confthre
@@ -291,7 +292,8 @@ def main():
 
         for offset in range(-100, 150, 50):
             canvas, gt_box_fm, gt_box, mask = get_img_mask(
-                offset, ori_img, ori_h, ori_w, targets, coco
+                offset, ori_img, ori_h, ori_w, targets, coco,
+                frame=exp.test_size[0],
             )
             if theta is None:
                 out_img = canvas
@@ -308,17 +310,22 @@ def main():
                 )
                 if not dis_label:
                     dis_label = [0, 0, 1, 1]
-                r = min(640 / out_img.shape[0], 640 / out_img.shape[1])
+                # frame = the model input size (the reference hardcodes
+                # its 640; generalized so 256-trained study models map
+                # their GT boxes into the right letterbox frame)
+                frame = exp.test_size[0]
+                r = min(frame / out_img.shape[0],
+                        frame / out_img.shape[1])
                 nw = int(out_img.shape[1] * r)
                 nh = int(out_img.shape[0] * r)
                 fm = np.zeros((1, 4))
                 fm[0] = (
-                    dis_label[0] / out_img.shape[1] * nw / 640,
-                    dis_label[1] / out_img.shape[0] * nh / 640,
+                    dis_label[0] / out_img.shape[1] * nw / frame,
+                    dis_label[1] / out_img.shape[0] * nh / frame,
                     (dis_label[0] + dis_label[2]) / out_img.shape[1]
-                    * nw / 640,
+                    * nw / frame,
                     (dis_label[1] + dis_label[3]) / out_img.shape[0]
-                    * nh / 640,
+                    * nh / frame,
                 )
                 gt_boxes_fm.append(fm)
                 bbox = [float(v) for v in dis_label]
@@ -346,8 +353,10 @@ def main():
     for theta in range(t0, t1, tstep):
         sweep(f"theta_{theta}", theta=theta)
 
-    # ---- final activation table (ref :613-620) ----
-    fm_size = [80, 40, 20]
+    # ---- final activation table (ref :613-620; sizes follow the model
+    # input -- 80/40/20 at the reference's 640) ----
+    fm_size = [exp.test_size[0] // 8, exp.test_size[0] // 16,
+               exp.test_size[0] // 32]
     offsets = ["-100", "-50", "000", "050", "100"]
     for idx, size in enumerate(fm_size):
         print(f"\n===== Feature Map Size: {size}x{size} =====")

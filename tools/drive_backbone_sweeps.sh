@@ -18,9 +18,11 @@ run_with_watchdog() {  # $1=backbone $2=ckpt $3=log
   local bt=$1 ck=$2 log=$3
   for attempt in 1 2 3; do
     echo "=== sweep $bt attempt $attempt ($(date)) ckpt=$ck ===" | tee -a "$log"
+    # tsize 256 = the models' training/eval scale (the harness's frame
+    # constants follow exp.test_size since r5; reference hardcodes 640)
     timeout 3600 python tools/demo_featuremap.py -n yolox-l -c "$ck" \
       --backbone "$bt" --json "$FIXTURE" --image-dir "$IMDIR" \
-      --conf 0.05 \
+      --conf 0.05 --tsize 256 \
       num_classes 3 output_dir "$OUT/fm" \
       >> "$log" 2>&1 &
     local pid=$!
