@@ -30,18 +30,19 @@ def parse_log(path):
         if ap_50 and ap_50_95:
             sweeps[name] = (float(ap_50.group(1)),
                             float(ap_50_95.group(1)))
-    # final stride-32 activation table: last "Feature Map Size: 20x20"
-    # grid; rows are ["None"|theta_XX, five offsets]
+    # final stride-32 activation table: last "Feature Map Size" grid
+    # (20x20 at frame 640, 8x8 at 256); rows: | name | 5 offset values |
     act = {}
-    idx = text.rfind("Feature Map Size: 20x20")
+    idx = max(text.rfind("Feature Map Size: 20x20"),
+              text.rfind("Feature Map Size: 8x8"))
     if idx >= 0:
         seg = text[idx:]
         for row in re.finditer(
-                r"\|\s*(None|theta_\d+)\s*((?:\|\s*-?[\d.]+\s*){5})\|",
-                seg):
-            vals = [float(v) for v in re.findall(r"-?[\d.]+",
-                                                 row.group(2))]
-            act[row.group(1)] = sum(vals) / len(vals)
+                r"\|\s+(None|theta_\d+)\s+\|([^\n]+)\|", seg):
+            vals = [float(v) for v in row.group(2).replace("|", " ").split()
+                    if v != "nan"]
+            if vals:
+                act[row.group(1)] = sum(vals) / len(vals)
     return sweeps, act
 
 
