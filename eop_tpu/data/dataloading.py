@@ -19,6 +19,7 @@ from __future__ import annotations
 import multiprocessing as mp
 import queue
 import random
+import threading
 import traceback
 import uuid
 from typing import Callable, Optional
@@ -168,6 +169,33 @@ class DataLoader:
             return
 
         self._start_workers()
+        # Results are drained from the mp.Queue by a sacrificial daemon
+        # thread into an in-process queue, and the consumer loop polls
+        # ONLY the in-process queue.  Reason (found live by the round-5
+        # chaos drive): mp.Queue.get(timeout) honors its timeout only up
+        # to poll(); a worker SIGKILLed midway through writing a multi-MB
+        # batch leaves a PARTIAL message in the pipe, poll() reports
+        # readable, and the subsequent recv_bytes() blocks forever (the
+        # parent's own write end keeps the pipe from EOF).  A blocked
+        # drainer thread is abandoned (daemon); the liveness check below
+        # still fires and the trainer gets its clean worker-death error
+        # instead of a hang.
+        local_q: "queue.Queue" = queue.Queue()
+        drain_stop = threading.Event()
+
+        def _drain():
+            while not drain_stop.is_set():
+                try:
+                    item = self._result_q.get(timeout=0.5)
+                except queue.Empty:
+                    continue
+                except (EOFError, OSError):
+                    return
+                local_q.put(item)
+
+        drainer = threading.Thread(target=_drain, daemon=True,
+                                   name="eop-loader-drain")
+        drainer.start()
         try:
             batch_iter = iter(self.batch_sampler)
             in_flight = {}
@@ -209,9 +237,7 @@ class DataLoader:
                 empty_polls = 0
                 while True:
                     try:
-                        batch_id, batch, err = self._result_q.get(
-                            timeout=5.0
-                        )
+                        batch_id, batch, err = local_q.get(timeout=5.0)
                         break
                     except queue.Empty:
                         empty_polls += 1
@@ -234,6 +260,7 @@ class DataLoader:
                 del in_flight[batch_id]
                 reorder[batch_id] = batch
         finally:
+            drain_stop.set()
             self.shutdown()
 
 

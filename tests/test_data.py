@@ -342,3 +342,50 @@ def test_fast_path_byte_exactness():
     out, r = preproc(img, (64, 64))
     assert r == 1.0
     np.testing.assert_array_equal(out, img.astype(np.float32))
+
+
+def test_all_workers_sigkilled_raises_not_hangs():
+    """Round-5 chaos-drive find: SIGKILLing every worker mid-stream must
+    raise the loader's worker-death RuntimeError, never hang.  A worker
+    killed midway through writing a multi-MB batch leaves a PARTIAL
+    message in the mp.Queue pipe: poll() reports readable, recv_bytes()
+    blocks past the get() timeout (the parent's own write end keeps the
+    pipe from EOF).  The loader now drains the mp.Queue on a sacrificial
+    daemon thread and runs its liveness logic against an in-process
+    queue, so the consumer always gets the clean error."""
+    import os
+    import signal
+    import threading
+    import time
+
+    from _worker_death_ds import BigDS
+
+    loader = DataLoader(BigDS(), batch_size=2, num_workers=2,
+                        shuffle=False, prefetch_batches=2)
+    outcome = {}
+
+    def consume():
+        try:
+            for k, _ in enumerate(iter(loader)):
+                if k == 0:
+                    outcome["first"] = time.time()
+                time.sleep(0.05)  # let the workers stream ahead
+            outcome["result"] = "exhausted"
+        except RuntimeError as e:
+            outcome["result"] = f"raised: {e}"
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    deadline = time.time() + 60
+    while "first" not in outcome and time.time() < deadline:
+        time.sleep(0.01)
+    assert "first" in outcome, "loader never produced a batch"
+    time.sleep(0.12)
+    for p in loader._workers:
+        os.kill(p.pid, signal.SIGKILL)
+    t.join(timeout=40)
+    assert not t.is_alive(), (
+        "HANG: consumer still blocked 40s after all workers died"
+    )
+    assert outcome["result"].startswith("raised"), outcome["result"]
+    assert "died" in outcome["result"]

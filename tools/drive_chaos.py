@@ -245,6 +245,8 @@ def main():
     results["C1_single_worker_death_grace_or_clean_error"] = ok_c1
 
     # C2: all workers killed -> the loader's worker-death error, always
+    if proc.poll() is None and not ok_c1:
+        hard_kill(proc)  # never start a second trainer on the held chip
     if proc.poll() is not None:
         mark = log_size(log_path)
         proc = start_trainer(args.out, log_path, max_epoch=30, resume=True)
@@ -265,6 +267,8 @@ def main():
     results["C2_all_workers_death_clean_error"] = ok_c2
 
     # C3: resume -> completes through the L1 tail (epochs 21-30)
+    if proc.poll() is None:
+        hard_kill(proc)  # free the chip before the resume run
     resume_ofs = log_size(log_path)
     proc = start_trainer(args.out, log_path, max_epoch=30, resume=True)
     try:
